@@ -1,0 +1,109 @@
+"""Layered configuration for the framework.
+
+Mirrors the reference's layered config idiom (SURVEY.md §5; reference
+`Makefile:4,8-9` — `?=` defaults, optional `env.mk` overrides, per-stage
+flag passthroughs, and env vars `SIDECARSEARCH_MODEL`,
+`SIDECARSEARCH_TRUST_REMOTE_CODE` at `README.md:60` / `MODEL_NAME`,
+`PROMPT_NAME`, `TRUST_REMOTE_CODE` at `README.md:28`):
+
+precedence (highest wins):
+  1. explicit CLI flags
+  2. environment variables (``ASTPU_*`` plus the reference-compatible names)
+  3. an optional ``env.json`` in the working directory (the `env.mk` analog)
+  4. built-in defaults (the reference's published values, BASELINE.md)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from pathlib import Path
+from typing import Any
+
+# Reference-published defaults (BASELINE.md / reference README.md:60).
+DEFAULT_SHARD_SIZE = 2_097_152        # rows per parquet shard
+DEFAULT_ROW_GROUP_SIZE = 65_536       # rows per parquet row-group
+DEFAULT_IVF_CENTROIDS = 65_536        # TRAINFLAGS -c 65536
+DEFAULT_EMBED_BATCH = 32              # BUILDFLAGS -b 32
+DEFAULT_MODEL = "NovaSearch/stella_en_1.5B_v5"
+DEFAULT_QUERY_PROMPT = "s2p_query"
+DEFAULT_EMBED_DIM = 1024              # stella MRL head used by the corpus
+
+ENV_FILE = "env.json"
+
+
+@dataclasses.dataclass
+class Config:
+    """Global framework configuration."""
+
+    # Paths (reference Makefile:1-2)
+    data_dir: str = "abstracts-embeddings/data"
+    events_dir: str = "events"
+    index_dir: str = "abstracts-faiss/index"
+    store_path: str = "data.sqlite"
+
+    # Embedding / model
+    model_name: str = DEFAULT_MODEL
+    query_prompt: str = DEFAULT_QUERY_PROMPT
+    trust_remote_code: bool = False
+    embed_batch: int = DEFAULT_EMBED_BATCH
+    embed_dim: int = DEFAULT_EMBED_DIM
+
+    # Shard layout
+    shard_size: int = DEFAULT_SHARD_SIZE
+    row_group_size: int = DEFAULT_ROW_GROUP_SIZE
+
+    # Index construction
+    ivf_centroids: int = DEFAULT_IVF_CENTROIDS
+    normalize: bool = True            # TRAINFLAGS -N: unit-sphere inner product
+    train_sample: int = 10_000_000    # k-means/PQ training subset size
+    pq_m: int = 64                    # PQ subquantizers (64 B/vec at 8 bits)
+    pq_nbits: int = 8
+    opq: bool = True
+
+    # Ingest
+    manifest_url: str = "https://openalex.s3.amazonaws.com/data/works/manifest"
+    language: str = "en"
+
+    def replace(self, **kw: Any) -> "Config":
+        kw = {k: v for k, v in kw.items() if v is not None}
+        return dataclasses.replace(self, **kw)
+
+
+_ENV_MAP = {
+    # ASTPU-native names
+    "ASTPU_MODEL": ("model_name", str),
+    "ASTPU_QUERY_PROMPT": ("query_prompt", str),
+    "ASTPU_DATA_DIR": ("data_dir", str),
+    "ASTPU_INDEX_DIR": ("index_dir", str),
+    "ASTPU_STORE": ("store_path", str),
+    "ASTPU_EMBED_DIM": ("embed_dim", int),
+    "ASTPU_TRAIN_SAMPLE": ("train_sample", int),
+    # Reference-compatible names (README.md:28,60)
+    "SIDECARSEARCH_MODEL": ("model_name", str),
+    "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),
+    "MODEL_NAME": ("model_name", str),
+    "PROMPT_NAME": ("query_prompt", str),
+    "TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),
+}
+
+
+def load_config(cwd: str | os.PathLike | None = None, **overrides: Any) -> Config:
+    """Build a Config from defaults <- env.json <- environment <- overrides."""
+    cfg = Config()
+
+    root = Path(cwd) if cwd is not None else Path.cwd()
+    env_file = root / ENV_FILE
+    if env_file.is_file():
+        data = json.loads(env_file.read_text())
+        known = {f.name for f in dataclasses.fields(Config)}
+        cfg = cfg.replace(**{k: v for k, v in data.items() if k in known})
+
+    env_kw: dict[str, Any] = {}
+    for var, (field, conv) in _ENV_MAP.items():
+        if var in os.environ:
+            env_kw[field] = conv(os.environ[var])
+    cfg = cfg.replace(**env_kw)
+
+    return cfg.replace(**overrides)
