@@ -1,0 +1,172 @@
+"""Fused scored top-k scan.
+
+The hot loop of exact flat search (BASELINE.md config 1) and the building
+block of the IVF scan: given queries ``q [Q, D]`` and a corpus block
+``x [N, D]``, produce the top-k inner products per query **without ever
+materializing the [Q, N] score matrix in HBM** — at 207M rows that matrix
+is the difference between bandwidth-bound and broken.
+
+Two implementations:
+
+- ``_topk_xla``: a `lax.scan` over corpus chunks carrying a running
+  [Q, k] result. XLA keeps the per-chunk [Q, C] scores in registers/VMEM
+  and fuses the mask; this is the CPU-mesh test path and a solid TPU
+  fallback.
+- ``_topk_pallas``: a Pallas kernel, grid over corpus chunks. Each step
+  does the chunk matmul on the MXU and folds the chunk into a running
+  top-k held in VMEM scratch (iterative max/argmax selection — Mosaic has
+  no native sort). Output is written once, on the last grid step. The
+  sequential grid makes the scratch carry safe, and the pipeline
+  double-buffers chunk DMA behind the matmul automatically.
+
+The corpus length must be a multiple of ``chunk``; rows >= ``n_valid``
+are padding and are masked to -inf (cf. SURVEY.md §7 "hard parts":
+static shapes vs variable corpus sizes).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _merge_topk(vals, idx, new_vals, new_idx, k):
+    """Merge running [Q, k] with chunk [Q, C] candidates -> [Q, k]."""
+    all_v = jnp.concatenate([vals, new_vals], axis=1)
+    all_i = jnp.concatenate([idx, new_idx], axis=1)
+    top_v, sel = lax.top_k(all_v, k)
+    top_i = jnp.take_along_axis(all_i, sel, axis=1)
+    return top_v, top_i
+
+
+def _topk_xla(q, x, n_valid, k, chunk):
+    qf = q.astype(x.dtype)
+    n_total, d = x.shape
+    nchunks = n_total // chunk
+    qn = q.shape[0]
+    xs = x.reshape(nchunks, chunk, d)
+
+    def body(carry, inp):
+        i, xc = inp
+        s = jnp.dot(qf, xc.T, preferred_element_type=jnp.float32)
+        cols = i * chunk + lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
+        s = jnp.where(cols < n_valid, s, NEG_INF)
+        return _merge_topk(carry[0], carry[1], s, cols, k), None
+
+    init = (
+        jnp.full((qn, k), NEG_INF, jnp.float32),
+        jnp.zeros((qn, k), jnp.int32),
+    )
+    (vals, idx), _ = lax.scan(body, init, (jnp.arange(nchunks), xs))
+    return vals, idx
+
+
+def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *, k, chunk):
+    i = pl.program_id(0)
+    nchunks = pl.num_programs(0)
+    qn = q_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        vals_s[:] = jnp.full_like(vals_s, NEG_INF)
+        idx_s[:] = jnp.zeros_like(idx_s)
+
+    # [Q, C] chunk scores on the MXU, f32 accumulation
+    s = lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cols = i * chunk + lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
+    s = jnp.where(cols < nvalid_ref[0], s, NEG_INF)
+
+    # Fold chunk into the running top-k: k rounds of max/argmax selection
+    # over the [Q, k + C] candidate set. Statically unrolled (k is small
+    # and static) — Mosaic has no sort/gather, and dynamic lane-indexed
+    # stores must be 128-aligned, so selected columns are stacked and
+    # written back as one full [Q, k] store.
+    mv = jnp.concatenate([vals_s[:], s], axis=1)
+    mi = jnp.concatenate([idx_s[:], cols], axis=1)
+    colid = lax.broadcasted_iota(jnp.int32, mv.shape, 1)
+
+    sel_vals, sel_idx = [], []
+    for _ in range(k):
+        m = jnp.max(mv, axis=1, keepdims=True)
+        am = jnp.argmax(mv, axis=1).reshape(qn, 1)
+        sel = colid == am
+        sel_vals.append(m)
+        sel_idx.append(jnp.sum(jnp.where(sel, mi, 0), axis=1, keepdims=True))
+        mv = jnp.where(sel, NEG_INF, mv)
+    vals_s[:] = jnp.concatenate(sel_vals, axis=1)
+    idx_s[:] = jnp.concatenate(sel_idx, axis=1)
+
+    @pl.when(i == nchunks - 1)
+    def _():
+        outv_ref[:] = vals_s[:]
+        outi_ref[:] = idx_s[:]
+
+
+def _topk_pallas(q, x, n_valid, k, chunk, interpret):
+    qn, d = q.shape
+    n_total = x.shape[0]
+    nchunks = n_total // chunk
+    q = q.astype(x.dtype)
+    nvalid_arr = jnp.reshape(n_valid, (1,)).astype(jnp.int32)
+
+    kernel = functools.partial(_topk_kernel, k=k, chunk=chunk)
+    outv, outi = pl.pallas_call(
+        kernel,
+        grid=(nchunks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((qn, k), jnp.float32),
+            jax.ShapeDtypeStruct((qn, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((qn, k), jnp.float32),
+            pltpu.VMEM((qn, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qn * n_total * d, bytes_accessed=n_total * d * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(nvalid_arr, q, x)
+    return outv, outi
+
+
+def streaming_topk(q, x, n_valid, k: int, *, chunk: int = 1024, impl: str = "auto"):
+    """Top-k inner products of q against x[:n_valid].
+
+    q: [Q, D]; x: [N, D] with N a multiple of ``chunk``; n_valid: traced
+    scalar count of real rows. Returns (values [Q, k] f32, row indices
+    [Q, k] i32). impl: "pallas" | "xla" | "auto" (pallas on TPU).
+    """
+    if x.shape[0] % chunk != 0:
+        raise ValueError(f"corpus rows {x.shape[0]} not a multiple of chunk {chunk}")
+    if k > chunk:
+        raise ValueError(f"k={k} must be <= chunk={chunk}")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "xla":
+        return _topk_xla(q, x, n_valid, k, chunk)
+    if impl == "pallas":
+        return _topk_pallas(q, x, n_valid, k, chunk, interpret=jax.default_backend() != "tpu")
+    if impl == "pallas_interpret":
+        return _topk_pallas(q, x, n_valid, k, chunk, interpret=True)
+    raise ValueError(f"unknown impl {impl!r}")

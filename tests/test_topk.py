@@ -1,0 +1,58 @@
+"""streaming_topk kernel tests vs a numpy exact reference (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from abstracts_search_tpu.ops.topk import streaming_topk
+
+
+def _ref_topk(q, x, n_valid, k):
+    s = q @ x[:n_valid].T
+    idx = np.argsort(-s, axis=1, kind="stable")[:, :k]
+    vals = np.take_along_axis(s, idx, axis=1)
+    return vals, idx
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+@pytest.mark.parametrize("n_valid", [512, 400, 129])
+def test_streaming_topk_matches_exact(rng, impl, n_valid):
+    Q, D, N, k, chunk = 8, 32, 512, 10, 128
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    x = np.zeros((N, D), dtype=np.float32)
+    x[:n_valid] = rng.standard_normal((n_valid, D)).astype(np.float32)
+
+    v, i = streaming_topk(jnp.asarray(q), jnp.asarray(x), jnp.int32(n_valid), k,
+                          chunk=chunk, impl=impl)
+    rv, ri = _ref_topk(q, x, n_valid, k)
+
+    np.testing.assert_allclose(np.asarray(v), rv, rtol=1e-5, atol=1e-5)
+    # indices may differ on exact ties; verify scores at returned indices
+    got_scores = np.take_along_axis(q @ x.T, np.asarray(i), axis=1)
+    np.testing.assert_allclose(got_scores, rv, rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(i) < n_valid)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+def test_streaming_topk_k_gt_valid(rng, impl):
+    """k larger than n_valid: padding slots come back as -inf."""
+    Q, D, N, k, chunk = 4, 16, 128, 16, 128
+    n_valid = 5
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    x = np.zeros((N, D), dtype=np.float32)
+    x[:n_valid] = rng.standard_normal((n_valid, D)).astype(np.float32)
+    v, i = streaming_topk(jnp.asarray(q), jnp.asarray(x), jnp.int32(n_valid), k,
+                          chunk=chunk, impl=impl)
+    v = np.asarray(v)
+    assert np.all(np.isfinite(v[:, :n_valid]))
+    assert np.all(np.isneginf(v[:, n_valid:]))
+
+
+def test_streaming_topk_validates_args(rng):
+    q = jnp.zeros((2, 8))
+    x = jnp.zeros((100, 8))
+    with pytest.raises(ValueError):
+        streaming_topk(q, x, jnp.int32(100), 5, chunk=64)  # 100 % 64 != 0
+    with pytest.raises(ValueError):
+        streaming_topk(q, jnp.zeros((64, 8)), jnp.int32(64), 65, chunk=64)  # k > chunk
