@@ -1,0 +1,58 @@
+"""Embedding pipeline: bucketing, padding invariance, mesh data parallelism."""
+
+import numpy as np
+
+import jax
+
+from abstracts_search_tpu.models import StellaConfig, StellaEncoder
+from abstracts_search_tpu.models.embed import EmbeddingPipeline, whitespace_tokenizer
+from abstracts_search_tpu.parallel import build_mesh
+
+
+def _tiny_pipeline(mesh=None, batch_size=4):
+    cfg = StellaConfig.tiny()
+    model = StellaEncoder(cfg)
+    rng = jax.random.key(0)
+    ids = np.zeros((1, 8), np.int32)
+    mask = np.ones((1, 8), np.int32)
+    params = model.init(rng, ids, mask)
+    return EmbeddingPipeline(
+        cfg, params, whitespace_tokenizer(cfg.backbone.vocab_size),
+        batch_size=batch_size, buckets=(8, 16, 32), mesh=mesh,
+    )
+
+
+def test_embed_shapes_and_determinism():
+    p = _tiny_pipeline()
+    texts = ["alpha beta gamma", "one two", "x " * 30, "solo"]
+    e1 = p(texts)
+    e2 = p(texts)
+    assert e1.shape == (4, p.cfg.mrl_dim)
+    np.testing.assert_array_equal(e1, e2)
+    np.testing.assert_allclose(np.linalg.norm(e1, axis=1), 1.0, rtol=1e-5)
+
+
+def test_embed_order_independence():
+    """Bucketed/batched execution must not depend on input order."""
+    p = _tiny_pipeline(batch_size=2)
+    texts = ["a b c", "d", "e f g h i j k l m n o p q r s t u v w x y z a b c d e f", "h i"]
+    base = p(texts)
+    perm = [2, 0, 3, 1]
+    permuted = p([texts[i] for i in perm])
+    np.testing.assert_allclose(permuted, base[perm], atol=1e-5)
+
+
+def test_embed_prompt_changes_embedding():
+    p = _tiny_pipeline()
+    plain = p(["hello world"])
+    prompted = p.embed_queries(["hello world"])
+    # the s2p_query instruction prefix must flow into the tokens
+    assert not np.allclose(plain, prompted)
+
+
+def test_embed_on_mesh_matches_single_device():
+    mesh = build_mesh()
+    p_mesh = _tiny_pipeline(mesh=mesh, batch_size=8)
+    p_single = _tiny_pipeline(batch_size=8)
+    texts = [f"document number {i} with words" for i in range(11)]
+    np.testing.assert_allclose(p_mesh(texts), p_single(texts), atol=1e-5)
