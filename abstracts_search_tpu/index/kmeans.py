@@ -1,0 +1,274 @@
+"""Distributed k-means — the IVF coarse quantizer trainer.
+
+Replaces faiss `Clustering` behind `sidecar-search index train -N -c
+65536` (SURVEY.md §2 #7; reference Makefile:37-39, README.md:60):
+spherical k-means (`-N` = vectors and centroids on the unit sphere,
+assignment by max inner product) over a training subset (~10M rows at
+production scale).
+
+TPU mapping (SURVEY.md §5 "distributed communication backend"):
+- training rows are sharded over the mesh's ``shard`` axis,
+- assignment is the fused streaming top-k kernel with k=1
+  (ops/topk.py — tiled [B, K] distance matmul with a running argmax,
+  never materializing B x 65536 scores),
+- per-device centroid sums/counts via one-hot matmuls on the MXU
+  (segment-scatter is the one thing TPUs hate), reduced with `psum`
+  over ICI,
+- centroid update + empty-cluster splitting happen host-side per
+  iteration (K x D is tiny next to the data).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..ops.topk import streaming_topk
+from ..parallel.mesh import SHARD_AXIS, build_mesh
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _normalize_rows(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.maximum(n, 1e-12)
+
+
+class KMeans:
+    """Spherical (or plain-IP) k-means over a device mesh."""
+
+    def __init__(
+        self,
+        k: int,
+        *,
+        mesh=None,
+        spherical: bool = True,
+        chunk: int = 1024,
+        onehot_chunk: int = 8192,
+        impl: str = "auto",
+        seed: int = 0,
+    ):
+        self.k = k
+        self.mesh = mesh if mesh is not None else build_mesh()
+        self.spherical = spherical
+        self.chunk = chunk
+        self.onehot_chunk = min(onehot_chunk, _round_up(k, 128))
+        self.impl = impl
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+        self.stats: dict = {}
+        self._step_fn = None
+        self._assign_fn = None
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.shape[SHARD_AXIS]
+
+    # -- jitted SPMD step -------------------------------------------------------
+
+    def _build_step(self, rows_per_dev: int, dim: int):
+        k_pad = _round_up(self.k, self.chunk)
+        chunk, impl, k = self.chunk, self.impl, self.k
+        oc = self.onehot_chunk
+
+        def local_step(x, valid, c):
+            # x: [rows_per_dev, D], valid: [rows_per_dev, 1] f32,
+            # c: [k_pad, D] (padded centroids, rows >= k are garbage)
+            v, idx = streaming_topk(x, c, jnp.int32(k), 1, chunk=chunk, impl=impl)
+            a = idx[:, 0]                                  # [b]
+            score = v[:, 0] * valid[:, 0]
+
+            # one-hot matmul accumulation, chunked over centroids
+            xf = x.astype(jnp.float32) * valid             # zero padded rows
+            n_oc = k_pad // oc
+
+            def body(i, carry):
+                sums, counts = carry
+                base = i * oc
+                onehot = (
+                    (a[:, None] - base) == lax.broadcasted_iota(jnp.int32, (1, oc), 1)
+                ).astype(jnp.float32) * valid              # [b, oc]
+                part = jnp.dot(onehot.T, xf, preferred_element_type=jnp.float32)
+                cnt = jnp.sum(onehot, axis=0)
+                sums = lax.dynamic_update_slice_in_dim(sums, part, base, axis=0)
+                counts = lax.dynamic_update_slice_in_dim(counts, cnt, base, axis=0)
+                return sums, counts
+
+            sums = jnp.zeros((k_pad, dim), jnp.float32)
+            counts = jnp.zeros((k_pad,), jnp.float32)
+            sums, counts = lax.fori_loop(0, n_oc, body, (sums, counts))
+
+            sums = lax.psum(sums, SHARD_AXIS)
+            counts = lax.psum(counts, SHARD_AXIS)
+            obj = lax.psum(jnp.sum(score), SHARD_AXIS)
+            return sums[: self.k], counts[: self.k], obj
+
+        fn = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_assign(self, rows_per_dev: int):
+        chunk, impl, k = self.chunk, self.impl, self.k
+
+        def local(x, c):
+            v, idx = streaming_topk(x, c, jnp.int32(k), 1, chunk=chunk, impl=impl)
+            return v[:, 0], idx[:, 0]
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P()),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    # -- data plumbing ------------------------------------------------------------
+
+    def _pad_batch(self, x: np.ndarray):
+        """Pad rows to ndev*multiple-of-8 alignment; returns (x_pad, valid)."""
+        n = x.shape[0]
+        per = _round_up(_round_up(n, self.ndev) // self.ndev, 8)
+        total = per * self.ndev
+        if total != n:
+            x = np.concatenate([x, np.zeros((total - n, x.shape[1]), x.dtype)], axis=0)
+        valid = np.zeros((total, 1), np.float32)
+        valid[:n] = 1.0
+        return x, valid
+
+    def _centroids_padded(self) -> np.ndarray:
+        k_pad = _round_up(self.k, self.chunk)
+        c = np.zeros((k_pad, self.centroids.shape[1]), np.float32)
+        c[: self.k] = self.centroids
+        # padding centroids must never win an argmax: give them a huge
+        # negative bias by pointing them away is impossible in general,
+        # so rely on streaming_topk's n_valid masking instead (k passed
+        # as n_valid above).
+        return c
+
+    # -- API ------------------------------------------------------------------------
+
+    def fit(
+        self,
+        data: np.ndarray | Iterable[np.ndarray],
+        *,
+        iters: int = 10,
+        batch_rows: int = 1 << 18,
+        tol: float = 1e-4,
+    ) -> np.ndarray:
+        """Lloyd iterations over (optionally chunked) training data."""
+        if isinstance(data, np.ndarray):
+            chunks = [np.asarray(data, np.float32)]
+        else:
+            chunks = [np.asarray(c, np.float32) for c in data]
+        if self.spherical:
+            chunks = [_normalize_rows(c) for c in chunks]
+        n_total = sum(len(c) for c in chunks)
+        dim = chunks[0].shape[1]
+        if n_total < self.k:
+            raise ValueError(f"need >= k={self.k} training rows, got {n_total}")
+
+        # init: random distinct rows (faiss-style random subset init)
+        rng = np.random.default_rng(self.seed)
+        all_rows = np.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
+        init_idx = rng.choice(n_total, size=self.k, replace=False)
+        self.centroids = all_rows[np.sort(init_idx)].copy()
+
+        objective_hist = []
+        split_hist = []
+        step = None
+        for it in range(iters):
+            c_pad = jnp.asarray(self._centroids_padded())
+            sums = np.zeros((self.k, dim), np.float64)
+            counts = np.zeros((self.k,), np.float64)
+            obj = 0.0
+            for chunk_data in _rebatch(chunks, batch_rows):
+                x, valid = self._pad_batch(chunk_data)
+                per = x.shape[0] // self.ndev
+                if step is None or step[0] != (per, dim):
+                    step = ((per, dim), self._build_step(per, dim))
+                s, cnt, o = step[1](jnp.asarray(x), jnp.asarray(valid), c_pad)
+                sums += np.asarray(s, np.float64)
+                counts += np.asarray(cnt, np.float64)
+                obj += float(o)
+
+            new_c = np.where(
+                counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), self.centroids
+            ).astype(np.float32)
+            if self.spherical:
+                new_c = _normalize_rows(new_c)
+
+            n_split = self._split_empty(new_c, counts, rng)
+            split_hist.append(n_split)
+
+            mean_obj = obj / n_total
+            objective_hist.append(mean_obj)
+            delta = float(np.linalg.norm(new_c - self.centroids) / np.sqrt(self.k))
+            self.centroids = new_c
+            logger.info(
+                "kmeans iter %d: objective=%.6f empties_split=%d delta=%.2e",
+                it, mean_obj, n_split, delta,
+            )
+            if delta < tol:
+                break
+
+        self.stats = {
+            "k": self.k,
+            "n_train": int(n_total),
+            "iters_run": len(objective_hist),
+            "objective": objective_hist,
+            "empty_splits": split_hist,
+            "spherical": self.spherical,
+        }
+        return self.centroids
+
+    def _split_empty(self, centroids: np.ndarray, counts: np.ndarray, rng) -> int:
+        """faiss-style repair: empty centroid <- jittered copy of a big one."""
+        empty = np.flatnonzero(counts == 0)
+        if len(empty) == 0:
+            return 0
+        order = np.argsort(-counts)
+        for j, e in enumerate(empty):
+            src = order[j % max(1, len(order))]
+            eps = 1e-3 * rng.standard_normal(centroids.shape[1]).astype(np.float32)
+            centroids[e] = centroids[src] + eps
+            if self.spherical:
+                centroids[e] /= max(np.linalg.norm(centroids[e]), 1e-12)
+        return len(empty)
+
+    def assign(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Return (scores, centroid ids) for rows of x."""
+        if self.centroids is None:
+            raise RuntimeError("fit() first")
+        x = np.asarray(x, np.float32)
+        if self.spherical:
+            x = _normalize_rows(x)
+        n = x.shape[0]
+        xp, _ = self._pad_batch(x)
+        per = xp.shape[0] // self.ndev
+        if self._assign_fn is None or self._assign_fn[0] != per:
+            self._assign_fn = (per, self._build_assign(per))
+        v, a = self._assign_fn[1](jnp.asarray(xp), jnp.asarray(self._centroids_padded()))
+        return np.asarray(v)[:n], np.asarray(a, np.int64)[:n]
+
+
+def _rebatch(chunks, batch_rows):
+    """Yield data in ~batch_rows pieces without concatenating everything."""
+    for c in chunks:
+        for lo in range(0, len(c), batch_rows):
+            yield c[lo : lo + batch_rows]
