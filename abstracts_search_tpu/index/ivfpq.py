@@ -1,0 +1,331 @@
+"""OPQ + IVF-PQ index — the production index (BASELINE.md config 4).
+
+Replaces the reference's trained faiss index (`empty.faiss` ->
+`index.faiss` + `ondisk.ivfdata`, SURVEY.md §2 #7,#9,#11) with the
+faiss "OPQ{M},IVF{K},PQ{M}" recipe rebuilt TPU-first:
+
+- OPQ rotation trained on the sample (index/opq.py),
+- coarse spherical k-means on rotated vectors (index/kmeans.py),
+- PQ codebooks trained on *residuals* (x_rot - centroid[assign]),
+- fill: rotate, assign, PQ-encode residuals, pack codes into the
+  segmented mesh-sharded lists (index/lists.py) at M bytes/vector,
+- search (ADC, inner product): because score = q . (c_list + decode(r)),
+  the per-list term q . c_list is EXACTLY the probe score already
+  computed by the centroid top-k, and the residual term is a lookup-
+  table sum over one shared LUT [M, ksub] per query. So: probe with the
+  fused streaming top-k, build LUTs with one einsum on the MXU, scan
+  code segments adding bias + LUT sums, all-gather merge.
+
+Memory: M=64, nbits=8 at 1024 dims = 64 B/vector + 4 B position =
+~14 GB for the 207M corpus across a mesh — the released-index budget
+class (SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.topk import streaming_topk
+from ..parallel.mesh import SHARD_AXIS, build_mesh
+from ..parallel.topk_merge import merge_topk_all_gather
+from .kmeans import KMeans, _normalize_rows, _round_up
+from .lists import PackedLists, pack_lists
+from .opq import OPQ
+from .pq import ProductQuantizer
+
+NEG_INF = float("-inf")
+
+
+class IVFPQIndex:
+    def __init__(
+        self,
+        n_lists: int,
+        dim: int,
+        *,
+        pq_m: int = 64,
+        pq_nbits: int = 8,
+        use_opq: bool = True,
+        mesh=None,
+        seg_size: int = 128,
+        chunk: int = 1024,
+        spherical: bool = True,
+        impl: str = "auto",
+        seed: int = 0,
+    ):
+        self.n_lists = n_lists
+        self.dim = dim
+        self.mesh = mesh if mesh is not None else build_mesh()
+        self.seg_size = seg_size
+        self.chunk = chunk
+        self.spherical = spherical
+        self.impl = impl
+        self.seed = seed
+        self.use_opq = use_opq
+
+        # Spherical coarse quantizer: in `-N` mode vectors are unit-norm and
+        # rotation preserves norms, so max-cosine assignment == min-L2 with
+        # unit centroids. (Plain-L2 mode would need an L2 assignment op;
+        # the reference pipeline always runs -N, README.md:60.)
+        self.kmeans = KMeans(
+            n_lists, mesh=self.mesh, spherical=True,
+            chunk=chunk, impl=impl, seed=seed,
+        )
+        self.pq = ProductQuantizer(dim, pq_m, pq_nbits, mesh=self.mesh, seed=seed)
+        self.opq = OPQ(dim, pq_m, pq_nbits, mesh=self.mesh, seed=seed) if use_opq else None
+        self.rotation = np.eye(dim, dtype=np.float32)
+
+        self.packed: PackedLists | None = None
+        self._dev_arrays = None
+        self.n = 0
+        self.train_stats: dict = {}
+        self._search_cache: dict = {}
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.shape[SHARD_AXIS]
+
+    @property
+    def is_trained(self) -> bool:
+        return self.kmeans.centroids is not None and self.pq.is_trained
+
+    # -- train ------------------------------------------------------------------
+
+    def train(self, sample: np.ndarray, *, kmeans_iters: int = 10,
+              opq_iters: int = 3, pq_iters: int = 10) -> dict:
+        sample = np.asarray(sample, np.float32)
+        if self.spherical:
+            sample = _normalize_rows(sample)
+
+        if self.use_opq:
+            self.opq.train(sample, outer_iters=opq_iters, pq_iters=max(4, pq_iters // 2))
+            self.rotation = self.opq.rotation
+        xr = sample @ self.rotation
+
+        self.kmeans.fit(xr, iters=kmeans_iters)
+
+        _, assign = self.kmeans.assign(xr)
+        residuals = xr - self.kmeans.centroids[assign]
+        self.pq.train(residuals, iters=pq_iters)
+
+        self.train_stats = {
+            "kmeans": self.kmeans.stats,
+            "pq": self.pq.stats,
+            "opq": self.opq.stats if self.use_opq else None,
+            "pq_m": self.pq.m,
+            "pq_nbits": self.pq.nbits,
+        }
+        return self.train_stats
+
+    # -- fill --------------------------------------------------------------------
+
+    def encode(self, vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """-> (list assignment [N], residual PQ codes [N, M] uint8)."""
+        x = np.asarray(vectors, np.float32)
+        if self.spherical:
+            x = _normalize_rows(x)
+        xr = x @ self.rotation
+        _, assign = self.kmeans.assign(xr)
+        codes = self.pq.encode(xr - self.kmeans.centroids[assign])
+        return assign, codes
+
+    def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
+        if not self.is_trained:
+            raise RuntimeError("train() before fill()")
+        if positions is None:
+            positions = np.arange(self.n, self.n + len(vectors), dtype=np.int64)
+        assign, codes = self.encode(vectors)
+        packed = pack_lists(
+            codes, np.asarray(positions), assign, self.n_lists,
+            ndev=self.ndev, seg_size=self.seg_size,
+        )
+        self._install(packed)
+
+    def _install(self, packed: PackedLists) -> None:
+        self.packed = packed
+        self.n = packed.n_rows
+        stacked = packed.stacked()
+        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._dev_arrays = tuple(jax.device_put(a, shard) for a in stacked)
+        repl = NamedSharding(self.mesh, P())
+        self._centroids_dev = jax.device_put(self._padded_centroids(), repl)
+        self._pq_cent_dev = jax.device_put(self.pq.centroids, repl)
+        self._rot_dev = jax.device_put(self.rotation, repl)
+        self._search_cache.clear()
+
+    def _padded_centroids(self) -> np.ndarray:
+        k_pad = _round_up(self.n_lists, self.chunk)
+        c = np.zeros((k_pad, self.dim), np.float32)
+        c[: self.n_lists] = self.kmeans.centroids
+        return c
+
+    # -- search -------------------------------------------------------------------
+
+    def _build_search(self, qn: int, k: int, nprobe: int):
+        seg, msegs, K = self.seg_size, self.packed.max_segs, self.n_lists
+        chunk, impl = self.chunk, self.impl
+        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
+
+        def local(q, rot, c, pqc, data, row_ids, seg_valid, list_segs):
+            data, row_ids = data[0], row_ids[0]
+            seg_valid, list_segs = seg_valid[0], list_segs[0]
+
+            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+
+            # 1) probe: scores double as the q . c_list ADC bias
+            bias, probes = streaming_topk(
+                qr, c, jnp.int32(K), nprobe, chunk=chunk, impl=impl
+            )  # [Q, P], [Q, P]
+
+            # 2) shared residual LUTs: [Q, M, ksub] in one MXU einsum
+            luts = jnp.einsum(
+                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
+                preferred_element_type=jnp.float32,
+            )
+
+            row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+            code_offsets = (jnp.arange(m_pq, dtype=jnp.int32) * ksub)[None, :]
+
+            def per_query(args):
+                qb, pl, lut = args            # [P] bias, [P] probes, [M, ksub]
+                segs = jnp.take(list_segs, pl, axis=0)          # [P, msegs]
+                owned = segs >= 0
+                segc = jnp.where(owned, segs, 0)
+                rows = segc.reshape(-1)[:, None] * seg + row_iota   # [P*msegs, seg]
+                flat_rows = rows.reshape(-1)
+                codes = jnp.take(data, flat_rows, axis=0).astype(jnp.int32)  # [R, M]
+                adc = jnp.take(lut.reshape(-1), codes + code_offsets)        # [R, M]
+                scores = jnp.sum(adc, axis=-1).reshape(-1, seg)              # [P*msegs, seg]
+                scores = scores + jnp.repeat(qb, msegs)[:, None]             # + q.c_list
+
+                live = owned.reshape(-1)[:, None] & (
+                    row_iota < jnp.take(seg_valid, segc.reshape(-1))[:, None]
+                )
+                flat = jnp.where(live, scores, NEG_INF).reshape(-1)
+                if flat.shape[0] < k:
+                    flat = jnp.pad(flat, (0, k - flat.shape[0]), constant_values=NEG_INF)
+                v, idx = lax.top_k(flat, k)
+                lookup = flat_rows
+                if lookup.shape[0] < k:
+                    lookup = jnp.pad(lookup, (0, k - lookup.shape[0]))
+                pos = jnp.take(row_ids, lookup[idx])
+                pos = jnp.where(v > NEG_INF, pos, -1)
+                return v, pos
+
+            v, pos = lax.map(per_query, (bias, probes, luts))
+            return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
+
+        fn = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P()) + (P(SHARD_AXIS),) * 4,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int, *, nprobe: int = 8):
+        if self._dev_arrays is None:
+            raise RuntimeError("fill() before search()")
+        q = np.asarray(queries, np.float32)
+        if self.spherical:
+            q = _normalize_rows(q)
+        nprobe = min(nprobe, self.n_lists)
+        key = (q.shape[0], k, nprobe)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._build_search(*key)
+        v, pos = self._search_cache[key](
+            jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev,
+            *self._dev_arrays,
+        )
+        return np.asarray(v), np.asarray(pos, np.int64)
+
+    # -- artifacts --------------------------------------------------------------------
+
+    def save(self, directory: str | Path, *, include_lists: bool = True) -> None:
+        d = Path(directory)
+        d.mkdir(parents=True, exist_ok=True)
+        np.save(d / "centroids.npy", self.kmeans.centroids)
+        np.save(d / "pq_centroids.npy", self.pq.centroids)
+        np.save(d / "rotation.npy", self.rotation)
+        meta = {
+            "type": "ivf_pq",
+            "n_lists": self.n_lists,
+            "dim": self.dim,
+            "pq_m": self.pq.m,
+            "pq_nbits": self.pq.nbits,
+            "use_opq": self.use_opq,
+            "seg_size": self.seg_size,
+            "spherical": self.spherical,
+            "n": self.n,
+            "train_stats": _json_safe(self.train_stats),
+        }
+        (d / "meta.json").write_text(json.dumps(meta, indent=2))
+        if include_lists and self.packed is not None:
+            data, row_ids, seg_valid, list_segs = self.packed.stacked()
+            np.savez_compressed(
+                d / "lists.npz",
+                data=data, row_ids=row_ids, seg_valid=seg_valid, list_segs=list_segs,
+                seg_size=self.seg_size, n_rows=self.packed.n_rows,
+                max_segs=self.packed.max_segs,
+            )
+
+    @classmethod
+    def load(cls, directory: str | Path, *, mesh=None, **kw) -> "IVFPQIndex":
+        d = Path(directory)
+        meta = json.loads((d / "meta.json").read_text())
+        idx = cls(
+            meta["n_lists"], meta["dim"], pq_m=meta["pq_m"], pq_nbits=meta["pq_nbits"],
+            use_opq=meta["use_opq"], mesh=mesh, seg_size=meta["seg_size"],
+            spherical=meta["spherical"], **kw,
+        )
+        idx.kmeans.centroids = np.load(d / "centroids.npy")
+        idx.pq.centroids = np.load(d / "pq_centroids.npy")
+        idx.rotation = np.load(d / "rotation.npy")
+        if idx.opq is not None:
+            idx.opq.rotation = idx.rotation
+            idx.opq.pq.centroids = idx.pq.centroids
+        idx.train_stats = meta.get("train_stats", {})
+        lists_file = d / "lists.npz"
+        if lists_file.exists():
+            z = np.load(lists_file)
+            from .lists import DeviceLists
+
+            ndev_saved = z["data"].shape[0]
+            if ndev_saved != idx.ndev:
+                raise ValueError(
+                    f"saved for {ndev_saved} devices, mesh has {idx.ndev}; refill needed"
+                )
+            per_dev = [
+                DeviceLists(z["data"][i], z["row_ids"][i], z["seg_valid"][i], z["list_segs"][i])
+                for i in range(ndev_saved)
+            ]
+            idx._install(
+                PackedLists(
+                    per_device=per_dev, seg_size=int(z["seg_size"]),
+                    n_lists=meta["n_lists"], n_rows=int(z["n_rows"]),
+                    max_segs=int(z["max_segs"]),
+                )
+            )
+        return idx
+
+
+def _json_safe(obj):
+    if isinstance(obj, dict):
+        return {k: _json_safe(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_json_safe(v) for v in obj]
+    if isinstance(obj, (np.integer,)):
+        return int(obj)
+    if isinstance(obj, (np.floating,)):
+        return float(obj)
+    if isinstance(obj, np.ndarray):
+        return obj.tolist()
+    return obj

@@ -1,0 +1,200 @@
+"""Product quantizer: per-subspace codebooks, trained on the mesh.
+
+Replaces faiss PQ training + encoding behind `index train` / `index
+fill` (SURVEY.md §2 #7,#9). The vector space is split into M subspaces
+of dsub dims; each gets a ksub=2^nbits-centroid codebook; a vector is
+stored as M uint8 codes (M=64, nbits=8 -> 64 B/vector at 1024 dims, the
+usual budget for this corpus class).
+
+All M subspace k-means run as ONE batched Lloyd iteration on the mesh:
+rows sharded over ``shard``, scores via a single einsum
+[n,M,dsub]x[M,ksub,dsub] on the MXU, assignment by argmin L2 (expanded
+as ||c||^2 - 2 x.c so it is matmul-shaped), centroid sums via one-hot
+einsum, `psum` over ICI. Encode reuses the same assignment computation.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from ..parallel.mesh import SHARD_AXIS, build_mesh
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class ProductQuantizer:
+    def __init__(
+        self,
+        dim: int,
+        m: int = 64,
+        nbits: int = 8,
+        *,
+        mesh=None,
+        seed: int = 0,
+    ):
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by M {m}")
+        if nbits > 8:
+            raise ValueError("nbits > 8 not supported (codes are uint8)")
+        self.dim = dim
+        self.m = m
+        self.nbits = nbits
+        self.ksub = 1 << nbits
+        self.dsub = dim // m
+        self.mesh = mesh if mesh is not None else build_mesh()
+        self.seed = seed
+        self.centroids: np.ndarray | None = None  # [M, ksub, dsub]
+        self.stats: dict = {}
+        self._fns: dict = {}
+
+    @property
+    def ndev(self) -> int:
+        return self.mesh.shape[SHARD_AXIS]
+
+    @property
+    def is_trained(self) -> bool:
+        return self.centroids is not None
+
+    # -- jitted SPMD pieces ------------------------------------------------------
+
+    def _assign_local(self, x, c):
+        """x: [n, M, dsub], c: [M, ksub, dsub] -> codes [n, M] int32."""
+        # argmin ||x - c||^2 == argmin ||c||^2 - 2 x.c  (matmul-shaped)
+        dots = jnp.einsum(
+            "nmd,mkd->nmk", x, c, preferred_element_type=jnp.float32
+        )
+        c2 = jnp.sum(jnp.square(c.astype(jnp.float32)), axis=-1)  # [M, ksub]
+        return jnp.argmin(c2[None] - 2.0 * dots, axis=-1).astype(jnp.int32)
+
+    def _build_train_step(self):
+        m, ksub, dsub = self.m, self.ksub, self.dsub
+
+        def local(x, valid, c):
+            codes = self._assign_local(x, c)                     # [n, M]
+            v3 = valid[:, :, None]                               # [n, 1, 1]
+            onehot = jax.nn.one_hot(codes, ksub, dtype=jnp.float32) * v3  # [n, M, ksub]
+            sums = jnp.einsum(
+                "nmk,nmd->mkd", onehot, x.astype(jnp.float32) * v3,
+                preferred_element_type=jnp.float32,
+            )
+            counts = jnp.sum(onehot, axis=0)                     # [M, ksub]
+            # reconstruction error contribution (for stats)
+            rec = jnp.einsum("nmk,mkd->nmd", onehot, c)
+            err = jnp.sum(jnp.square((x - rec) * v3))
+            return (
+                lax.psum(sums, SHARD_AXIS),
+                lax.psum(counts, SHARD_AXIS),
+                lax.psum(err, SHARD_AXIS),
+            )
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_encode(self):
+        def local(x, c):
+            return self._assign_local(x, c)
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P()),
+            out_specs=P(SHARD_AXIS),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    # -- data plumbing --------------------------------------------------------------
+
+    def _pad_rows(self, x: np.ndarray):
+        n = x.shape[0]
+        per = _round_up(_round_up(n, self.ndev) // self.ndev, 8)
+        total = per * self.ndev
+        if total != n:
+            x = np.concatenate([x, np.zeros((total - n,) + x.shape[1:], x.dtype)])
+        valid = np.zeros((total, 1), np.float32)
+        valid[:n] = 1.0
+        return x, valid
+
+    def _subspaced(self, x: np.ndarray) -> np.ndarray:
+        return np.ascontiguousarray(
+            np.asarray(x, np.float32).reshape(len(x), self.m, self.dsub)
+        )
+
+    # -- API ---------------------------------------------------------------------------
+
+    def train(self, x: np.ndarray, *, iters: int = 12, tol: float = 1e-5) -> np.ndarray:
+        x = self._subspaced(x)
+        n = len(x)
+        if n < self.ksub:
+            raise ValueError(f"need >= ksub={self.ksub} rows, got {n}")
+
+        rng = np.random.default_rng(self.seed)
+        init = rng.choice(n, size=self.ksub, replace=False)
+        c = np.transpose(x[np.sort(init)], (1, 0, 2)).copy()  # [M, ksub, dsub]
+
+        xp, valid = self._pad_rows(x)
+        step = self._build_train_step()
+        xj, vj = jnp.asarray(xp), jnp.asarray(valid)
+
+        errs = []
+        prev = None
+        for it in range(iters):
+            sums, counts, err = step(xj, vj, jnp.asarray(c))
+            sums, counts = np.asarray(sums, np.float64), np.asarray(counts, np.float64)
+            mse = float(err) / (n * self.dim)
+            errs.append(mse)
+
+            newc = np.where(
+                counts[..., None] > 0, sums / np.maximum(counts[..., None], 1), c
+            ).astype(np.float32)
+            # empty codes: reseed from random training rows (per subspace)
+            for mi in range(self.m):
+                empty = np.flatnonzero(counts[mi] == 0)
+                if len(empty):
+                    newc[mi, empty] = x[rng.integers(0, n, len(empty)), mi]
+            c = newc
+            logger.info("pq train iter %d: mse=%.6g", it, mse)
+            if prev is not None and abs(prev - mse) < tol * max(prev, 1e-12):
+                break
+            prev = mse
+
+        self.centroids = c
+        self.stats = {"m": self.m, "ksub": self.ksub, "n_train": n, "mse": errs}
+        return c
+
+    def encode(self, x: np.ndarray) -> np.ndarray:
+        """x [N, dim] -> codes [N, M] uint8."""
+        if not self.is_trained:
+            raise RuntimeError("train() first")
+        xs = self._subspaced(x)
+        n = len(xs)
+        xp, _ = self._pad_rows(xs)
+        key = ("encode", xp.shape[0])
+        if key not in self._fns:
+            self._fns[key] = self._build_encode()
+        codes = np.asarray(self._fns[key](jnp.asarray(xp), jnp.asarray(self.centroids)))
+        return codes[:n].astype(np.uint8)
+
+    def decode(self, codes: np.ndarray) -> np.ndarray:
+        """codes [N, M] -> approx vectors [N, dim]."""
+        c = self.centroids  # [M, ksub, dsub]
+        out = c[np.arange(self.m)[None, :], codes.astype(np.int64)]  # [N, M, dsub]
+        return out.reshape(len(codes), self.dim)
+
+    def reconstruction_mse(self, x: np.ndarray) -> float:
+        return float(np.mean(np.square(x - self.decode(self.encode(x)))))
