@@ -1,0 +1,280 @@
+"""`astpu` — the framework CLI.
+
+Same command surface as the reference's `sidecar-search` CLI plus the
+Makefile driver targets (SURVEY.md §2 #2-#10; invocations at reference
+Makefile:25,32,39,48,65,71,100,104-105):
+
+  astpu init <db>
+  ... | astpu build [-b N] <db>                 # stdin {"id","document"} JSONL
+  astpu dump [--shard-size N] [--row-group-size N] <src> <dst>   # direction by arg order
+  astpu index -B <dir> train [-N] [-c N] [--pq-m M] [--pq-nbits B] [--no-opq] <data>
+  astpu index -B <dir> tune [--k K] [--target-recall R] <data>
+  astpu index -B <dir> fill <data>
+  astpu index --source <data> clean [-B <dir>]
+  astpu all | sync | recover | clean            # driver targets (Makefile parity)
+  astpu search "query text" [-k N]              # one-shot search
+  astpu serve [--port P]                        # HTTP search service
+
+Env (reference-compatible, README.md:28,60): SIDECARSEARCH_MODEL,
+SIDECARSEARCH_TRUST_REMOTE_CODE, MODEL_NAME, PROMPT_NAME,
+TRUST_REMOTE_CODE, plus ASTPU_* overrides (config.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from .config import load_config
+
+logging.basicConfig(
+    level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+)
+logger = logging.getLogger("astpu")
+
+
+def _driver(args, cfg):
+    from .driver import Driver
+
+    return Driver(cfg, embedder=getattr(args, "embedder", "auto"))
+
+
+# -- sidecar-style subcommands ----------------------------------------------------
+
+
+def cmd_init(args, cfg):
+    from .storage.sqlite_store import init_store
+
+    init_store(args.db).close()
+    print(f"initialized {args.db}")
+
+
+def cmd_build(args, cfg):
+    """stdin JSONL {"id","document"} -> embed -> upsert (Makefile:65)."""
+    from .models.registry import get_embedder
+    from .storage.sqlite_store import EmbeddingStore
+
+    embedder = get_embedder(args.embedder, cfg)
+    store = EmbeddingStore(args.db)
+    batch_ids, batch_docs, n = [], [], 0
+    stream = open(args.input) if args.input else sys.stdin
+
+    def flush():
+        nonlocal n
+        if batch_ids:
+            store.upsert(batch_ids, embedder(batch_docs))
+            n += len(batch_ids)
+            batch_ids.clear()
+            batch_docs.clear()
+
+    for line in stream:
+        line = line.strip()
+        if not line:
+            continue
+        rec = json.loads(line)
+        batch_ids.append(rec["id"])
+        batch_docs.append(rec["document"])
+        if len(batch_ids) >= args.batch_size:
+            flush()
+    flush()
+    store.close()
+    print(f"embedded+upserted {n} documents into {args.db}")
+
+
+def cmd_dump(args, cfg):
+    """Bidirectional sqlite <-> parquet; direction by argument order
+    (reference Makefile:48 vs :100)."""
+    from .storage.shards import dump_store_to_shards, load_shards_to_store
+    from .storage.sqlite_store import EmbeddingStore, init_store
+
+    src, dst = Path(args.src), Path(args.dst)
+    if src.is_dir():  # parquet -> sqlite (recover direction)
+        store = init_store(dst) if not dst.exists() else EmbeddingStore(dst)
+        n = load_shards_to_store(src, store)
+        store.close()
+        print(f"recovered {n} rows {src} -> {dst}")
+    else:  # sqlite -> parquet
+        store = EmbeddingStore(src)
+        n = dump_store_to_shards(
+            store, dst, shard_size=args.shard_size, row_group_size=args.row_group_size
+        )
+        store.close()
+        print(f"dumped {n} rows {src} -> {dst}")
+
+
+def cmd_index(args, cfg):
+    cfg = cfg.replace(
+        index_dir=args.build_dir or cfg.index_dir,
+        data_dir=args.data if args.data else cfg.data_dir,
+        ivf_centroids=args.centroids,
+        pq_m=args.pq_m,
+        pq_nbits=args.pq_nbits,
+        normalize=True if args.normalize else None,
+        opq=(not args.no_opq) if args.no_opq else None,
+        train_sample=args.sample,
+    )
+    d = _driver(args, cfg)
+    if args.index_cmd == "train":
+        d.target_train(force=args.force, kmeans_iters=args.iters)
+        print(f"train artifacts in {d.empty_dir} + {d.untuned_path}")
+    elif args.index_cmd == "tune":
+        d.target_tune(force=args.force, k=args.k, target_recall=args.target_recall)
+        print(f"params in {d.params_path}")
+    elif args.index_cmd == "fill":
+        d.target_fill(force=args.force)
+        print(f"filled index in {d.filled_dir} + {d.ids_path}")
+    elif args.index_cmd == "clean":
+        import shutil
+
+        for p in (d.index_dir,):
+            if p.exists():
+                shutil.rmtree(p)
+        print("index artifacts removed")
+
+
+# -- driver targets -------------------------------------------------------------------
+
+
+def cmd_all(args, cfg):
+    _driver(args, cfg).target_all()
+
+
+def cmd_sync(args, cfg):
+    if args.manifest:
+        cfg = cfg.replace(manifest_url=args.manifest)
+    d = _driver(args, cfg)
+    res = d.target_build()
+    print(json.dumps({"ingested_partitions": res}))
+    d.target_dump()
+    d.target_fill()
+    d.target_tune()
+
+
+def cmd_recover(args, cfg):
+    _driver(args, cfg).target_recover()
+
+
+def cmd_clean(args, cfg):
+    _driver(args, cfg).target_clean()
+
+
+# -- query side ---------------------------------------------------------------------------
+
+
+def cmd_search(args, cfg):
+    from .serve.engine import SearchEngine
+
+    engine = SearchEngine.from_artifacts(
+        cfg, index_dir=cfg.index_dir, embedder=args.embedder,
+        hydrate=not args.no_hydrate,
+    )
+    results = engine.search(args.query, k=args.k)
+    for r in results:
+        print(json.dumps(r))
+
+
+def cmd_serve(args, cfg):
+    from .serve.app import run_server
+
+    run_server(cfg, host=args.host, port=args.port, embedder=args.embedder)
+
+
+# -- parser ------------------------------------------------------------------------------------
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="astpu", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("init", help="create an empty embedding store")
+    sp.add_argument("db")
+    sp.set_defaults(fn=cmd_init)
+
+    sp = sub.add_parser("build", help="embed stdin JSONL into the store")
+    sp.add_argument("db")
+    sp.add_argument("-b", "--batch-size", type=int, default=32)
+    sp.add_argument("--embedder", default="auto", choices=["auto", "stella", "hash"])
+    sp.add_argument("--input", help="read from file instead of stdin")
+    sp.set_defaults(fn=cmd_build)
+
+    sp = sub.add_parser("dump", help="sqlite <-> parquet (direction by arg order)")
+    sp.add_argument("src")
+    sp.add_argument("dst")
+    sp.add_argument("--shard-size", type=int, default=2_097_152)
+    sp.add_argument("--row-group-size", type=int, default=65_536)
+    sp.set_defaults(fn=cmd_dump)
+
+    sp = sub.add_parser("index", help="index train/tune/fill/clean")
+    sp.add_argument("-B", "--build-dir", help="index artifact directory")
+    sp.add_argument("--source", dest="data", help="data dir (clean)")
+    isub = sp.add_subparsers(dest="index_cmd", required=True)
+    for name in ("train", "tune", "fill", "clean"):
+        ip = isub.add_parser(name)
+        if name != "clean":
+            ip.add_argument("data", nargs="?")
+        ip.add_argument("--force", action="store_true")
+        ip.add_argument("--embedder", default="hash")
+        if name == "train":
+            ip.add_argument("-N", "--normalize", action="store_true",
+                            help="unit-sphere inner-product mode")
+            ip.add_argument("-c", "--centroids", type=int, default=None)
+            ip.add_argument("--pq-m", type=int, default=None)
+            ip.add_argument("--pq-nbits", type=int, default=None)
+            ip.add_argument("--no-opq", action="store_true")
+            ip.add_argument("--sample", type=int, default=None)
+            ip.add_argument("--iters", type=int, default=10)
+        else:
+            ip.set_defaults(normalize=False, centroids=None, pq_m=None,
+                            pq_nbits=None, no_opq=False, sample=None, iters=10)
+        if name == "tune":
+            ip.add_argument("--k", type=int, default=10)
+            ip.add_argument("--target-recall", type=float, default=0.95)
+        else:
+            ip.set_defaults(k=10, target_recall=0.95)
+    sp.set_defaults(fn=cmd_index)
+
+    for name, fn in (("all", cmd_all), ("recover", cmd_recover), ("clean", cmd_clean)):
+        sp = sub.add_parser(name, help=f"driver target: {name}")
+        sp.add_argument("--embedder", default="auto")
+        sp.set_defaults(fn=fn)
+
+    sp = sub.add_parser("sync", help="full quarterly sync (build->dump->fill->tune)")
+    sp.add_argument("--manifest", help="manifest URL override (file:// ok)")
+    sp.add_argument("--embedder", default="auto")
+    sp.set_defaults(fn=cmd_sync)
+
+    sp = sub.add_parser("search", help="one-shot query against the index")
+    sp.add_argument("query")
+    sp.add_argument("-k", type=int, default=10)
+    sp.add_argument("--embedder", default="auto")
+    sp.add_argument("--no-hydrate", action="store_true",
+                    help="skip OpenAlex metadata hydration")
+    sp.set_defaults(fn=cmd_search)
+
+    sp = sub.add_parser("serve", help="HTTP search service")
+    sp.add_argument("--host", default="127.0.0.1")
+    sp.add_argument("--port", type=int, default=7860)
+    sp.add_argument("--embedder", default="auto")
+    sp.set_defaults(fn=cmd_serve)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = make_parser().parse_args(argv)
+    cfg = load_config()
+    try:
+        args.fn(args, cfg)
+    except (FileExistsError, FileNotFoundError, ValueError, RuntimeError) as e:
+        print(f"astpu: error: {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

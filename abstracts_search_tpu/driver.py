@@ -1,0 +1,272 @@
+"""Build orchestrator — the Makefile-equivalent driver.
+
+Reproduces the reference's target DAG and rebuild semantics (SURVEY.md
+§1 L4, §3.1-3.2; reference Makefile:16-66,89-101):
+
+- ``build``   : fetch manifest (cmp-guarded replace), ingest every
+                partition without a stamp (download | gunzip | native
+                filter | embed | upsert), touch stamps.
+- ``dump``    : when the stamp set changed since the last export,
+                `rm -rf` + re-export parquet shards and copy events/
+                next to them (Makefile:46-49).
+- ``train``   : ONLY when train artifacts are absent — the order-only
+                dependency semantics (Makefile:38: new data does NOT
+                retrain; `clean` or deleting `empty/` forces it).
+- ``tune``    : only when params.json is absent (Makefile:31).
+- ``fill``    : when data or train artifacts are newer than the filled
+                index (tracked via a fill stamp of shard fingerprints).
+- ``all``     : fill + tune, pulling the whole chain as needed
+                (Makefile:18). Quarterly sync = just run ``all`` again
+                (README.md:63-65).
+- ``recover`` : parquet -> sqlite + restore events/ (Makefile:98-101).
+- ``clean``   : remove artifacts (Makefile:103-111).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import shutil
+from pathlib import Path
+
+import numpy as np
+
+from .config import Config
+from .ingest.manifest import default_fetcher, group_by_partition, parse_manifest, update_manifest_file
+from .ingest.sync import SyncState, sync
+from .models.registry import get_embedder
+from .parallel.mesh import build_mesh
+from .storage.shards import ShardReader, dump_store_to_shards, load_shards_to_store
+from .storage.sqlite_store import EmbeddingStore, init_store
+from .index.ivfpq import IVFPQIndex
+from .index.tune import tune_index, write_params
+
+logger = logging.getLogger(__name__)
+
+
+class Driver:
+    def __init__(
+        self,
+        cfg: Config,
+        *,
+        root: str | Path = ".",
+        embedder: str = "auto",
+        fetcher=default_fetcher,
+        mesh=None,
+    ):
+        self.cfg = cfg
+        self.root = Path(root)
+        self.fetcher = fetcher
+        self.mesh = mesh if mesh is not None else build_mesh()
+        self._embedder_name = embedder
+        self._embedder = None
+
+        self.manifest_path = self.root / "manifest.txt"
+        self.events_dir = self.root / cfg.events_dir
+        self.store_path = self.root / cfg.store_path
+        self.data_dir = self.root / cfg.data_dir
+        self.published_events = self.data_dir.parent / "events"
+        self.index_dir = self.root / cfg.index_dir
+        self.empty_dir = self.index_dir / "empty"        # trained, unfilled
+        self.filled_dir = self.index_dir / "index"       # filled lists
+        self.untuned_path = self.index_dir / "untuned.json"
+        self.params_path = self.index_dir / "params.json"
+        self.ids_path = self.index_dir / "ids.parquet"
+        self.fill_stamp = self.index_dir / "fill.stamp.json"
+
+    # -- helpers -----------------------------------------------------------------
+
+    @property
+    def embedder(self):
+        if self._embedder is None:
+            self._embedder = get_embedder(self._embedder_name, self.cfg, mesh=self.mesh)
+        return self._embedder
+
+    def _store(self, create=False) -> EmbeddingStore:
+        if create and not self.store_path.exists():
+            return init_store(self.store_path)
+        return EmbeddingStore(self.store_path)
+
+    def _data_fingerprint(self) -> dict:
+        if not self.data_dir.is_dir():
+            return {}
+        return {
+            p.name: p.stat().st_size
+            for p in sorted(self.data_dir.glob("data_*.parquet"))
+        }
+
+    # -- targets ------------------------------------------------------------------
+
+    def target_build(self) -> dict:
+        """Manifest fetch + incremental partition ingest."""
+        raw = self.fetcher(self.cfg.manifest_url)
+        urls = parse_manifest(raw)
+        changed = update_manifest_file(self.manifest_path, urls)
+        logger.info("manifest: %d part urls (%s)", len(urls),
+                    "updated" if changed else "unchanged")
+        state = SyncState(self.events_dir)
+        store = self._store(create=True)
+        try:
+            return sync(urls, state, self.embedder, store,
+                        batch_size=self.cfg.embed_batch)
+        finally:
+            store.close()
+
+    def target_dump(self, *, force: bool = False) -> int:
+        """Export sqlite -> parquet when the event set changed."""
+        current = set(SyncState(self.events_dir).completed())
+        copied = (
+            set(p.name for p in self.published_events.iterdir())
+            if self.published_events.is_dir() else None
+        )
+        if not force and self.data_dir.is_dir() and copied == current:
+            logger.info("dump: up to date (%d events)", len(current))
+            return 0
+        if self.data_dir.exists():
+            shutil.rmtree(self.data_dir)
+        if self.published_events.exists():
+            shutil.rmtree(self.published_events)
+        store = self._store()
+        try:
+            n = dump_store_to_shards(
+                store, self.data_dir,
+                shard_size=self.cfg.shard_size,
+                row_group_size=self.cfg.row_group_size,
+            )
+        finally:
+            store.close()
+        shutil.copytree(self.events_dir, self.published_events)
+        logger.info("dump: exported %d rows", n)
+        return n
+
+    def _load_training_sample(self) -> np.ndarray:
+        reader = ShardReader(self.data_dir)
+        return reader.sample(min(self.cfg.train_sample, len(reader)))
+
+    def target_train(self, *, force: bool = False, kmeans_iters: int = 10) -> bool:
+        """Order-only semantics: retrain only when artifacts are absent."""
+        if self.empty_dir.is_dir() and self.untuned_path.exists() and not force:
+            logger.info("train: artifacts present, skipping (order-only dep)")
+            return False
+        sample = self._load_training_sample()
+        n_lists = min(self.cfg.ivf_centroids, max(1, len(sample) // 16))
+        index = IVFPQIndex(
+            n_lists, sample.shape[1],
+            pq_m=self.cfg.pq_m, pq_nbits=self.cfg.pq_nbits,
+            use_opq=self.cfg.opq, mesh=self.mesh,
+            spherical=self.cfg.normalize,
+        )
+        stats = index.train(sample, kmeans_iters=kmeans_iters)
+        index.save(self.empty_dir, include_lists=False)
+        self.untuned_path.parent.mkdir(parents=True, exist_ok=True)
+        from .index.ivfpq import _json_safe
+        self.untuned_path.write_text(json.dumps(_json_safe(stats), indent=2))
+        logger.info("train: %d lists trained on %d rows", n_lists, len(sample))
+        return True
+
+    def _load_index(self, *, filled: bool) -> IVFPQIndex:
+        d = self.filled_dir if filled else self.empty_dir
+        return IVFPQIndex.load(d, mesh=self.mesh)
+
+    def target_fill(self, *, force: bool = False) -> bool:
+        self.target_train()
+        fp = self._data_fingerprint()
+        if (
+            not force and self.fill_stamp.exists()
+            and json.loads(self.fill_stamp.read_text()) == fp
+            and self.filled_dir.is_dir() and self.ids_path.exists()
+        ):
+            logger.info("fill: up to date")
+            return False
+
+        index = self._load_index(filled=False)
+        reader = ShardReader(self.data_dir)
+        ids_all: list[str] = []
+        vecs = []
+        for ids, embs in reader.iter_row_groups():
+            ids_all.extend(ids)
+            vecs.append(embs)
+        vectors = np.concatenate(vecs, axis=0)
+        index.fill(vectors)
+        index.save(self.filled_dir)
+        _write_ids_parquet(self.ids_path, ids_all)
+        self.fill_stamp.write_text(json.dumps(fp))
+        logger.info("fill: %d vectors indexed", len(ids_all))
+        return True
+
+    def target_tune(self, *, force: bool = False, n_queries: int = 256,
+                    k: int = 10, target_recall: float = 0.95) -> bool:
+        self.target_train()
+        if self.params_path.exists() and not force:
+            logger.info("tune: params.json present, skipping")
+            return False
+        # tune on the filled index when available, else on a sampled fill
+        if self.filled_dir.is_dir():
+            index = self._load_index(filled=True)
+            reader = ShardReader(self.data_dir)
+            sample = reader.sample(min(len(reader), 100_000))
+        else:
+            index = self._load_index(filled=False)
+            reader = ShardReader(self.data_dir)
+            sample = reader.sample(min(len(reader), 100_000))
+            index.fill(sample)
+        params = tune_index(
+            index, sample, n_queries=min(n_queries, len(sample)),
+            k=k, target_recall=target_recall,
+        )
+        write_params(self.params_path, params)
+        logger.info("tune: nprobe=%d recall=%.3f", params["nprobe"], params["achieved_recall"])
+        return True
+
+    def target_all(self) -> None:
+        """fill + tune (Makefile:18), pulling build/dump as needed."""
+        if self.events_dir.is_dir() or not self.data_dir.is_dir():
+            if self.manifest_path.exists() or self.cfg.manifest_url.startswith("file:"):
+                try:
+                    self.target_build()
+                except Exception as e:
+                    logger.warning("build skipped: %s", e)
+            if self.store_path.exists():
+                self.target_dump()
+        self.target_fill()
+        self.target_tune()
+
+    def target_recover(self) -> int:
+        """Rebuild sqlite + sync position from the published dataset."""
+        store = self._store(create=True)
+        try:
+            n = load_shards_to_store(self.data_dir, store)
+        finally:
+            store.close()
+        if self.published_events.is_dir():
+            if self.events_dir.exists():
+                shutil.rmtree(self.events_dir)
+            shutil.copytree(self.published_events, self.events_dir)
+        logger.info("recover: %d rows restored", n)
+        return n
+
+    def target_clean(self) -> None:
+        for p in (self.events_dir, self.data_dir, self.index_dir):
+            if p.exists():
+                shutil.rmtree(p)
+        for f in (self.store_path, self.manifest_path):
+            if f.exists():
+                f.unlink()
+        logger.info("clean: done")
+
+
+def _write_ids_parquet(path: Path, ids: list[str]) -> None:
+    """positions -> OpenAlex work ids (the ids.parquet artifact,
+    reference Makefile:11; 'maps query embeddings directly to OpenAlex
+    IDs', README.md:16)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.table({"id": pa.array(ids, pa.string())}), path)
+
+
+def read_ids_parquet(path: str | Path) -> list[str]:
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path, columns=["id"]).column("id").to_pylist()

@@ -7,5 +7,10 @@ ground-truth oracle for every quantized index (SURVEY.md §7 step 2).
 """
 
 from .flat import FlatIndex
+from .ivf import IVFFlatIndex
+from .ivfpq import IVFPQIndex
+from .kmeans import KMeans
+from .opq import OPQ
+from .pq import ProductQuantizer
 
-__all__ = ["FlatIndex"]
+__all__ = ["FlatIndex", "IVFFlatIndex", "IVFPQIndex", "KMeans", "OPQ", "ProductQuantizer"]

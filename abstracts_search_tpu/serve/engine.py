@@ -1,0 +1,97 @@
+"""Search engine: the query path of SURVEY.md §3.5.
+
+startup: load the filled index + params.json operating point +
+ids.parquet position map + the query encoder.
+per query: encode (s2p_query prompt) -> shard-parallel TPU search at the
+tuned nprobe -> positions -> OpenAlex IDs -> optional live hydration.
+"""
+
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+
+import numpy as np
+
+from ..config import Config
+from ..index.ivfpq import IVFPQIndex
+from ..index.tune import read_params
+from ..models.registry import get_embedder
+from ..parallel.mesh import build_mesh
+from .hydrate import OpenAlexClient
+
+logger = logging.getLogger(__name__)
+
+
+class SearchEngine:
+    def __init__(self, index, ids: list[str], embedder, *, nprobe: int = 16,
+                 hydrator: OpenAlexClient | None = None):
+        self.index = index
+        self.ids = ids
+        self.embedder = embedder
+        self.nprobe = nprobe
+        self.hydrator = hydrator
+
+    @classmethod
+    def from_artifacts(
+        cls,
+        cfg: Config,
+        *,
+        index_dir: str | Path,
+        embedder: str = "auto",
+        hydrate: bool = True,
+        mesh=None,
+        fetcher=None,
+    ) -> "SearchEngine":
+        from ..driver import read_ids_parquet
+
+        index_dir = Path(index_dir)
+        mesh = mesh if mesh is not None else build_mesh()
+        filled = index_dir / "index"
+        if not filled.is_dir():
+            raise FileNotFoundError(
+                f"no filled index under {index_dir} (run `astpu index fill` / `astpu all`)"
+            )
+        index = IVFPQIndex.load(filled, mesh=mesh)
+
+        params_path = index_dir / "params.json"
+        nprobe = 16
+        if params_path.exists():
+            nprobe = int(read_params(params_path)["nprobe"])
+
+        ids = read_ids_parquet(index_dir / "ids.parquet")
+        emb = get_embedder(embedder, cfg, mesh=mesh)
+        hyd = (
+            OpenAlexClient(fetcher) if (hydrate and fetcher is not None)
+            else OpenAlexClient() if hydrate
+            else None
+        )
+        logger.info("engine: %d vectors, nprobe=%d, dim=%d", index.n, nprobe, index.dim)
+        return cls(index, ids, emb, nprobe=nprobe, hydrator=hyd)
+
+    def search(self, query: str, k: int = 10) -> list[dict]:
+        q = self.embedder.queries([query])
+        scores, pos = self.index.search(q, k, nprobe=self.nprobe)
+        results = []
+        for s, p in zip(scores[0], pos[0]):
+            if p < 0:
+                continue
+            results.append({"id": self.ids[int(p)], "score": float(s)})
+        if self.hydrator is not None and results:
+            meta = self.hydrator.get_works([r["id"] for r in results])
+            for r in results:
+                r.update(meta.get(r["id"], {}))
+        return results
+
+    def search_batch(self, queries: list[str], k: int = 10) -> list[list[dict]]:
+        q = self.embedder.queries(queries)
+        scores, pos = self.index.search(q, k, nprobe=self.nprobe)
+        out = []
+        for qi in range(len(queries)):
+            row = [
+                {"id": self.ids[int(p)], "score": float(s)}
+                for s, p in zip(scores[qi], pos[qi])
+                if p >= 0
+            ]
+            out.append(row)
+        return out
