@@ -69,8 +69,11 @@ def _topk_xla(q, x, n_valid, k, chunk):
 
 
 def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *, k, chunk):
-    i = pl.program_id(0)
-    nchunks = pl.num_programs(0)
+    # grid = (query tiles, corpus chunks); the chunk axis is minor, so for
+    # one query tile all corpus chunks run sequentially and the VMEM
+    # scratch legitimately carries the running top-k across them.
+    i = pl.program_id(1)
+    nchunks = pl.num_programs(1)
     qn = q_ref.shape[0]
 
     @pl.when(i == 0)
@@ -78,7 +81,7 @@ def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *,
         vals_s[:] = jnp.full_like(vals_s, NEG_INF)
         idx_s[:] = jnp.zeros_like(idx_s)
 
-    # [Q, C] chunk scores on the MXU, f32 accumulation
+    # [QT, C] chunk scores on the MXU, f32 accumulation
     s = lax.dot_general(
         q_ref[:], x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -113,40 +116,54 @@ def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *,
         outi_ref[:] = idx_s[:]
 
 
-def _topk_pallas(q, x, n_valid, k, chunk, interpret):
+def _round_up(v: int, m: int) -> int:
+    return -(-v // m) * m
+
+
+def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256):
     qn, d = q.shape
     n_total = x.shape[0]
     nchunks = n_total // chunk
     q = q.astype(x.dtype)
     nvalid_arr = jnp.reshape(n_valid, (1,)).astype(jnp.int32)
 
+    # tile the query axis too — a 20k-row assignment batch would not fit
+    # a [Q, D] block in VMEM
+    qt = min(q_tile, _round_up(qn, 8))
+    q_pad = _round_up(qn, qt)
+    if q_pad != qn:
+        q = jnp.pad(q, ((0, q_pad - qn), (0, 0)))
+
     kernel = functools.partial(_topk_kernel, k=k, chunk=chunk)
     outv, outi = pl.pallas_call(
         kernel,
-        grid=(nchunks,),
+        grid=(q_pad // qt, nchunks),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((qn, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, d), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, d), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((qn, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((qt, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((qn, k), jnp.float32),
-            jax.ShapeDtypeStruct((qn, k), jnp.int32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((q_pad, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((qn, k), jnp.float32),
-            pltpu.VMEM((qn, k), jnp.int32),
+            pltpu.VMEM((qt, k), jnp.float32),
+            pltpu.VMEM((qt, k), jnp.int32),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * qn * n_total * d, bytes_accessed=n_total * d * x.dtype.itemsize,
+            flops=2 * q_pad * n_total * d,
+            bytes_accessed=n_total * d * x.dtype.itemsize * (q_pad // qt),
             transcendentals=0,
         ),
         interpret=interpret,
     )(nvalid_arr, q, x)
+    if q_pad != qn:
+        outv, outi = outv[:qn], outi[:qn]
     return outv, outi
 
 
