@@ -219,17 +219,31 @@ class Driver:
         return True
 
     def target_all(self) -> None:
-        """fill + tune (Makefile:18), pulling build/dump as needed."""
+        """fill + tune (Makefile:18), pulling build/dump as needed.
+
+        Stage timings land in <index_dir>/build_report.json and, with
+        ASTPU_PROFILE=<dir> set, each stage also captures a JAX device
+        trace (SURVEY.md §5: the observability the reference lacks).
+        """
+        from .utils import StageTimer, profile_scope
+
+        timer = StageTimer()
         if self.events_dir.is_dir() or not self.data_dir.is_dir():
             if self.manifest_path.exists() or self.cfg.manifest_url.startswith("file:"):
                 try:
-                    self.target_build()
+                    with timer.stage("build"), profile_scope("build"):
+                        self.target_build()
                 except Exception as e:
                     logger.warning("build skipped: %s", e)
             if self.store_path.exists():
-                self.target_dump()
-        self.target_fill()
-        self.target_tune()
+                with timer.stage("dump"):
+                    self.target_dump()
+        with timer.stage("fill"), profile_scope("fill"):
+            self.target_fill()
+        with timer.stage("tune"), profile_scope("tune"):
+            self.target_tune()
+        self.index_dir.mkdir(parents=True, exist_ok=True)
+        timer.write(self.index_dir / "build_report.json")
 
     def target_recover(self) -> int:
         """Rebuild sqlite + sync position from the published dataset."""
