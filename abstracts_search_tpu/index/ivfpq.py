@@ -58,6 +58,7 @@ class IVFPQIndex:
         chunk: int = 1024,
         spherical: bool = True,
         impl: str = "auto",
+        scan_impl: str = "auto",
         seed: int = 0,
     ):
         self.n_lists = n_lists
@@ -67,6 +68,9 @@ class IVFPQIndex:
         self.chunk = chunk
         self.spherical = spherical
         self.impl = impl
+        # scan_impl: "map" (per-query XLA gather scan), "slots" (the
+        # Pallas ADC kernel over (query, segment) slots), "auto"
+        self.scan_impl = scan_impl
         self.seed = seed
         self.use_opq = use_opq
 
@@ -169,6 +173,73 @@ class IVFPQIndex:
     # -- search -------------------------------------------------------------------
 
     def _build_search(self, qn: int, k: int, nprobe: int):
+        scan = self.scan_impl
+        if scan == "auto":
+            scan = "slots" if jax.default_backend() == "tpu" else "map"
+        if scan == "map":
+            return self._build_search_map(qn, k, nprobe)
+        return self._build_search_slots(qn, k, nprobe)
+
+    def _build_search_slots(self, qn: int, k: int, nprobe: int):
+        """Slot-based scan: one Pallas ADC call over all (query, probed
+        segment) pairs of the batch (ops/adc.py), then one fused XLA
+        bias+mask+top-k. This is the TPU production path."""
+        seg, msegs, K = self.seg_size, self.packed.max_segs, self.n_lists
+        chunk, impl = self.chunk, self.impl
+        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
+
+        from ..ops.adc import adc_scan_pallas
+
+        def local(q, rot, c, pqc, data, row_ids, seg_valid, list_segs):
+            data, row_ids = data[0], row_ids[0]
+            seg_valid, list_segs = seg_valid[0], list_segs[0]
+            n_segs = seg_valid.shape[0]
+            codes3 = data.reshape(n_segs, seg, m_pq)
+
+            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+            bias, probes = streaming_topk(
+                qr, c, jnp.int32(K), nprobe, chunk=chunk, impl=impl
+            )  # [Q, P]
+            luts = jnp.einsum(
+                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
+                preferred_element_type=jnp.float32,
+            )
+
+            segs = jnp.take(list_segs, probes, axis=0)        # [Q, P, msegs]
+            seg_flat = segs.reshape(-1)                       # [n_slots]
+            owned = seg_flat >= 0
+            segc = jnp.where(owned, seg_flat, 0)
+            q_ids = jnp.repeat(
+                jnp.arange(qn, dtype=jnp.int32), nprobe * msegs
+            )
+
+            scores = adc_scan_pallas(codes3, luts, segc, q_ids)   # [n_slots, SEG]
+            slot_bias = jnp.repeat(bias.reshape(-1), msegs)[:, None]
+            scores = scores + slot_bias
+
+            row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+            live = owned[:, None] & (row_iota < jnp.take(seg_valid, segc)[:, None])
+            flat = jnp.where(live, scores, NEG_INF).reshape(qn, -1)
+            rows = (segc[:, None] * seg + row_iota).reshape(qn, -1)
+            if flat.shape[1] < k:
+                flat = jnp.pad(flat, ((0, 0), (0, k - flat.shape[1])),
+                               constant_values=NEG_INF)
+                rows = jnp.pad(rows, ((0, 0), (0, k - rows.shape[1])))
+            v, idx = lax.top_k(flat, k)
+            pos = jnp.take(row_ids, jnp.take_along_axis(rows, idx, axis=1))
+            pos = jnp.where(v > NEG_INF, pos, -1)
+            return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
+
+        fn = shard_map(
+            local,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(), P()) + (P(SHARD_AXIS),) * 4,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_search_map(self, qn: int, k: int, nprobe: int):
         seg, msegs, K = self.seg_size, self.packed.max_segs, self.n_lists
         chunk, impl = self.chunk, self.impl
         m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
