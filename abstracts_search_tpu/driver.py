@@ -182,12 +182,17 @@ class Driver:
         index = self._load_index(filled=False)
         reader = ShardReader(self.data_dir)
         ids_all: list[str] = []
-        vecs = []
-        for ids, embs in reader.iter_row_groups():
-            ids_all.extend(ids)
-            vecs.append(embs)
-        vectors = np.concatenate(vecs, axis=0)
-        index.fill(vectors)
+
+        def chunks():
+            pos = 0
+            for ids, embs in reader.iter_row_groups():
+                ids_all.extend(ids)
+                positions = np.arange(pos, pos + len(embs), dtype=np.int64)
+                pos += len(embs)
+                yield embs, positions
+
+        # stream row groups through the mesh; only PQ codes stay on host
+        index.fill_stream(chunks())
         index.save(self.filled_dir)
         _write_ids_parquet(self.ids_path, ids_all)
         self.fill_stamp.write_text(json.dumps(fp))

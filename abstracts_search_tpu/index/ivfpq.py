@@ -141,13 +141,30 @@ class IVFPQIndex:
         return assign, codes
 
     def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
-        if not self.is_trained:
-            raise RuntimeError("train() before fill()")
         if positions is None:
             positions = np.arange(self.n, self.n + len(vectors), dtype=np.int64)
-        assign, codes = self.encode(vectors)
+        self.fill_stream([(vectors, positions)])
+
+    def fill_stream(self, chunks) -> None:
+        """Stream (vectors, positions) chunks: encode each chunk on the
+        mesh, keep only the M-byte codes host-side, pack once at the end.
+        At 207M rows the raw f32 vectors are ~850 GB — only the codes
+        (~13 GB at M=64) ever live in host RAM, which is the
+        OnDiskInvertedLists-shaped memory story (SURVEY.md §7 'hard
+        parts': fill must stream shards through device memory)."""
+        if not self.is_trained:
+            raise RuntimeError("train() before fill()")
+        codes_parts, assign_parts, pos_parts = [], [], []
+        for vectors, positions in chunks:
+            assign, codes = self.encode(vectors)
+            codes_parts.append(codes)
+            assign_parts.append(assign)
+            pos_parts.append(np.asarray(positions))
         packed = pack_lists(
-            codes, np.asarray(positions), assign, self.n_lists,
+            np.concatenate(codes_parts),
+            np.concatenate(pos_parts),
+            np.concatenate(assign_parts),
+            self.n_lists,
             ndev=self.ndev, seg_size=self.seg_size,
         )
         self._install(packed)

@@ -1,0 +1,65 @@
+"""Encoder throughput benchmark — BASELINE.md config 3.
+
+Full-size stella_en_1.5B_v5 architecture (Qwen2-1.5B backbone + 1024-d
+MRL head) in bf16 on the available chip(s), random weights (throughput
+is weight-agnostic). Reference baseline: the initial corpus embed took
+~1 week on 4x NVIDIA L4 for ~207M abstracts => ~342 docs/s for the
+whole rig (reference README.md:33).
+
+Run: python benchmarks/embed_bench.py [batch] [seqlen]
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from abstracts_search_tpu.models import Qwen2Config, StellaConfig, StellaEncoder
+
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+    seqlen = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+
+    cfg = StellaConfig(
+        backbone=Qwen2Config.stella_1_5b(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16),
+        mrl_dim=1024,
+    )
+    model = StellaEncoder(cfg)
+
+    ids = jnp.zeros((batch, seqlen), jnp.int32)
+    mask = jnp.ones((batch, seqlen), jnp.int32)
+
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.key(0), ids, mask)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))
+    print(f"init: {time.time()-t0:.1f}s, {n_params/1e9:.2f}B params")
+
+    apply = jax.jit(model.apply)
+    t0 = time.time()
+    out = apply(params, ids, mask)
+    out.block_until_ready()
+    print(f"compile+first run: {time.time()-t0:.1f}s, out {out.shape}")
+
+    reps = 8
+    t0 = time.time()
+    outs = [apply(params, ids, mask) for _ in range(reps)]
+    np.asarray(outs[-1][0, 0])
+    dt = (time.time() - t0) / reps
+    docs_s = batch / dt
+    flops = 2 * n_params * batch * seqlen / dt
+    print(
+        f"batch={batch} seq={seqlen}: {dt*1e3:.1f} ms/batch, "
+        f"{docs_s:.1f} docs/s/chip, ~{flops/1e12:.1f} TFLOP/s, "
+        f"vs 4xL4 rig (342 docs/s): {docs_s/342:.2f}x"
+    )
+
+
+if __name__ == "__main__":
+    main()

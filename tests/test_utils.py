@@ -1,0 +1,64 @@
+"""Aux subsystems: stage timers, profile hooks, embedder registry, config."""
+
+import json
+
+import numpy as np
+import pytest
+
+from abstracts_search_tpu.config import Config, load_config
+from abstracts_search_tpu.models.registry import HashEmbedder, get_embedder
+from abstracts_search_tpu.utils import StageTimer, profile_scope
+
+
+def test_stage_timer_collects_and_writes(tmp_path):
+    t = StageTimer()
+    with t.stage("a", rows=10):
+        pass
+    with pytest.raises(ValueError):
+        with t.stage("b"):
+            raise ValueError("boom")
+    rep = t.report()
+    assert [s["stage"] for s in rep["stages"]] == ["a", "b"]
+    assert rep["stages"][0]["rows"] == 10
+    assert "boom" in rep["stages"][1]["error"]
+    t.write(tmp_path / "r.json")
+    assert json.loads((tmp_path / "r.json").read_text())["total_seconds"] >= 0
+
+
+def test_profile_scope_noop_without_env(monkeypatch):
+    monkeypatch.delenv("ASTPU_PROFILE", raising=False)
+    with profile_scope("x"):
+        pass  # must not require jax / write anything
+
+
+def test_hash_embedder_deterministic_and_normalized():
+    e = HashEmbedder(32)
+    a = e(["hello", "world"])
+    b = e(["hello", "world"])
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(np.linalg.norm(a, axis=1), 1.0, rtol=1e-6)
+    assert not np.allclose(a[0], a[1])
+    assert e([]).shape == (0, 32)
+    # queries == corpus space for the hash stand-in
+    np.testing.assert_array_equal(e.queries(["hello"]), e(["hello"]))
+
+
+def test_registry_dispatch():
+    cfg = Config(embed_dim=8)
+    assert isinstance(get_embedder("hash", cfg), HashEmbedder)
+    with pytest.raises(ValueError):
+        get_embedder("nope", cfg)
+    # auto falls back to hash when stella weights are unreachable
+    emb = get_embedder("auto", cfg)
+    assert emb(["x"]).shape == (1, 8)
+
+
+def test_config_env_layering(tmp_path, monkeypatch):
+    (tmp_path / "env.json").write_text(json.dumps({"embed_dim": 64, "pq_m": 32}))
+    monkeypatch.setenv("ASTPU_EMBED_DIM", "128")       # env beats env.json
+    monkeypatch.setenv("SIDECARSEARCH_MODEL", "some/model")
+    cfg = load_config(tmp_path, ivf_centroids=99)      # override beats all
+    assert cfg.embed_dim == 128
+    assert cfg.pq_m == 32
+    assert cfg.model_name == "some/model"
+    assert cfg.ivf_centroids == 99
