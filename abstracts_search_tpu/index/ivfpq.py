@@ -111,7 +111,9 @@ class IVFPQIndex:
         if self.use_opq:
             self.opq.train(sample, outer_iters=opq_iters, pq_iters=max(4, pq_iters // 2))
             self.rotation = self.opq.rotation
-        xr = sample @ self.rotation
+        from .opq import _rotate
+
+        xr = _rotate(sample, self.rotation)
 
         self.kmeans.fit(xr, iters=kmeans_iters)
 
@@ -135,7 +137,9 @@ class IVFPQIndex:
         x = np.asarray(vectors, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
-        xr = x @ self.rotation
+        from .opq import _rotate
+
+        xr = _rotate(x, self.rotation)  # on device; host matmul is 1-core slow
         _, assign = self.kmeans.assign(xr)
         codes = self.pq.encode(xr - self.kmeans.centroids[assign])
         return assign, codes

@@ -251,20 +251,30 @@ class KMeans:
                 centroids[e] /= max(np.linalg.norm(centroids[e]), 1e-12)
         return len(empty)
 
-    def assign(self, x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """Return (scores, centroid ids) for rows of x."""
+    def assign(self, x: np.ndarray, *, batch_rows: int = 1 << 18) -> tuple[np.ndarray, np.ndarray]:
+        """Return (scores, centroid ids) for rows of x.
+
+        Chunked: a 10M x 1024 training sample is ~40 GB f32 — it must
+        stream through device memory, never land on it whole.
+        """
         if self.centroids is None:
             raise RuntimeError("fit() first")
         x = np.asarray(x, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
-        n = x.shape[0]
-        xp, _ = self._pad_batch(x)
-        per = xp.shape[0] // self.ndev
-        if self._assign_fn is None or self._assign_fn[0] != per:
-            self._assign_fn = (per, self._build_assign(per))
-        v, a = self._assign_fn[1](jnp.asarray(xp), jnp.asarray(self._centroids_padded()))
-        return np.asarray(v)[:n], np.asarray(a, np.int64)[:n]
+        c = jnp.asarray(self._centroids_padded())
+        scores = np.empty(len(x), np.float32)
+        assign = np.empty(len(x), np.int64)
+        for lo in range(0, len(x), batch_rows):
+            xc = x[lo : lo + batch_rows]
+            xp, _ = self._pad_batch(xc)
+            per = xp.shape[0] // self.ndev
+            if self._assign_fn is None or self._assign_fn[0] != per:
+                self._assign_fn = (per, self._build_assign(per))
+            v, a = self._assign_fn[1](jnp.asarray(xp), c)
+            scores[lo : lo + len(xc)] = np.asarray(v)[: len(xc)]
+            assign[lo : lo + len(xc)] = np.asarray(a)[: len(xc)]
+        return scores, assign
 
 
 def _rebatch(chunks, batch_rows):

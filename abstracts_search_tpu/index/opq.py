@@ -18,11 +18,35 @@ from __future__ import annotations
 
 import logging
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .pq import ProductQuantizer
 
 logger = logging.getLogger(__name__)
+
+_CHUNK = 1 << 18
+
+
+@jax.jit
+def _rotate_chunk(x, r):
+    return jnp.dot(x, r, preferred_element_type=jnp.float32)
+
+
+@jax.jit
+def _gram_chunk(x, xhat):
+    return jnp.dot(x.T, xhat, preferred_element_type=jnp.float32)
+
+
+def _rotate(x: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """x @ R on device, chunked (a 10M x 1024 host matmul on one CPU
+    core would take hours; on the MXU it's seconds)."""
+    out = np.empty_like(x)
+    rj = jnp.asarray(r)
+    for lo in range(0, len(x), _CHUNK):
+        out[lo : lo + _CHUNK] = np.asarray(_rotate_chunk(jnp.asarray(x[lo : lo + _CHUNK]), rj))
+    return out
 
 
 class OPQ:
@@ -50,16 +74,27 @@ class OPQ:
 
         mses = []
         for it in range(outer_iters):
-            xr = x @ self.rotation
+            xr = _rotate(x, self.rotation)
             self.pq.train(xr, iters=pq_iters)
-            xhat = self.pq.decode(self.pq.encode(xr))
-            mse = float(np.mean(np.square(xr - xhat)))
+            # accumulate the Procrustes gram x^T xhat and the MSE chunked —
+            # xhat for the full sample would be another full-size array
+            gram = np.zeros((self.dim, self.dim), np.float64)
+            sq_err = 0.0
+            for lo in range(0, len(x), _CHUNK):
+                xr_c = xr[lo : lo + _CHUNK]
+                xhat_c = self.pq.decode(self.pq.encode(xr_c))
+                sq_err += float(np.sum(np.square(xr_c - xhat_c)))
+                gram += np.asarray(
+                    _gram_chunk(jnp.asarray(x[lo : lo + _CHUNK]), jnp.asarray(xhat_c)),
+                    np.float64,
+                )
+            mse = sq_err / x.size
             mses.append(mse)
             logger.info("opq iter %d: mse=%.6g", it, mse)
             if it == outer_iters - 1:
                 break
             # Procrustes: R <- argmin_{R orthogonal} ||x R - xhat||
-            u, _, vt = np.linalg.svd(x.T @ xhat, full_matrices=False)
+            u, _, vt = np.linalg.svd(gram, full_matrices=False)
             self.rotation = (u @ vt).astype(np.float32)
 
         self.stats = {"mse": mses, "m": self.pq.m, "nbits": self.pq.nbits}

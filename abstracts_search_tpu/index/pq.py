@@ -137,7 +137,8 @@ class ProductQuantizer:
 
     # -- API ---------------------------------------------------------------------------
 
-    def train(self, x: np.ndarray, *, iters: int = 12, tol: float = 1e-5) -> np.ndarray:
+    def train(self, x: np.ndarray, *, iters: int = 12, tol: float = 1e-5,
+              batch_rows: int = 1 << 18) -> np.ndarray:
         x = self._subspaced(x)
         n = len(x)
         if n < self.ksub:
@@ -147,16 +148,23 @@ class ProductQuantizer:
         init = rng.choice(n, size=self.ksub, replace=False)
         c = np.transpose(x[np.sort(init)], (1, 0, 2)).copy()  # [M, ksub, dsub]
 
-        xp, valid = self._pad_rows(x)
         step = self._build_train_step()
-        xj, vj = jnp.asarray(xp), jnp.asarray(valid)
 
         errs = []
         prev = None
         for it in range(iters):
-            sums, counts, err = step(xj, vj, jnp.asarray(c))
-            sums, counts = np.asarray(sums, np.float64), np.asarray(counts, np.float64)
-            mse = float(err) / (n * self.dim)
+            # stream the sample through the device in batch_rows chunks
+            cj = jnp.asarray(c)
+            sums = np.zeros((self.m, self.ksub, self.dsub), np.float64)
+            counts = np.zeros((self.m, self.ksub), np.float64)
+            err = 0.0
+            for lo in range(0, n, batch_rows):
+                xp, valid = self._pad_rows(x[lo : lo + batch_rows])
+                s, cnt, e = step(jnp.asarray(xp), jnp.asarray(valid), cj)
+                sums += np.asarray(s, np.float64)
+                counts += np.asarray(cnt, np.float64)
+                err += float(e)
+            mse = err / (n * self.dim)
             errs.append(mse)
 
             newc = np.where(
@@ -177,18 +185,22 @@ class ProductQuantizer:
         self.stats = {"m": self.m, "ksub": self.ksub, "n_train": n, "mse": errs}
         return c
 
-    def encode(self, x: np.ndarray) -> np.ndarray:
-        """x [N, dim] -> codes [N, M] uint8."""
+    def encode(self, x: np.ndarray, *, batch_rows: int = 1 << 18) -> np.ndarray:
+        """x [N, dim] -> codes [N, M] uint8 (chunked through the device)."""
         if not self.is_trained:
             raise RuntimeError("train() first")
         xs = self._subspaced(x)
         n = len(xs)
-        xp, _ = self._pad_rows(xs)
-        key = ("encode", xp.shape[0])
-        if key not in self._fns:
-            self._fns[key] = self._build_encode()
-        codes = np.asarray(self._fns[key](jnp.asarray(xp), jnp.asarray(self.centroids)))
-        return codes[:n].astype(np.uint8)
+        cj = jnp.asarray(self.centroids)
+        out = np.empty((n, self.m), np.uint8)
+        if "encode" not in self._fns:
+            self._fns["encode"] = self._build_encode()
+        for lo in range(0, n, batch_rows):
+            xp, _ = self._pad_rows(xs[lo : lo + batch_rows])
+            codes = np.asarray(self._fns["encode"](jnp.asarray(xp), cj))
+            take = min(batch_rows, n - lo)
+            out[lo : lo + take] = codes[:take].astype(np.uint8)
+        return out
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
         """codes [N, M] -> approx vectors [N, dim]."""
