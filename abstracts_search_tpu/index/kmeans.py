@@ -189,20 +189,36 @@ class KMeans:
         init_idx = rng.choice(n_total, size=self.k, replace=False)
         self.centroids = all_rows[np.sort(init_idx)].copy()
 
+        # Pre-stage padded batches ON DEVICE when they fit — Lloyd re-reads
+        # the same sample every iteration, and re-uploading it per iter
+        # wastes host<->device bandwidth. Batches are row-sharded over the
+        # mesh; when the sample exceeds the device budget we keep host
+        # arrays and stream them each iteration instead.
+        from ..parallel.mesh import corpus_sharding
+
+        device_budget = 4 << 30  # bytes per device for staged training data
+        on_device = n_total * dim * 4 <= device_budget * self.ndev
+        shard = corpus_sharding(self.mesh)
+        staged = []
+        step = None
+        for chunk_data in _rebatch(chunks, batch_rows):
+            x, valid = self._pad_batch(chunk_data)
+            per = x.shape[0] // self.ndev
+            if step is None or step[0] != (per, dim):
+                step = ((per, dim), self._build_step(per, dim))
+            if on_device:
+                x, valid = jax.device_put(x, shard), jax.device_put(valid, shard)
+            staged.append((x, valid, step[1]))
+
         objective_hist = []
         split_hist = []
-        step = None
         for it in range(iters):
             c_pad = jnp.asarray(self._centroids_padded())
             sums = np.zeros((self.k, dim), np.float64)
             counts = np.zeros((self.k,), np.float64)
             obj = 0.0
-            for chunk_data in _rebatch(chunks, batch_rows):
-                x, valid = self._pad_batch(chunk_data)
-                per = x.shape[0] // self.ndev
-                if step is None or step[0] != (per, dim):
-                    step = ((per, dim), self._build_step(per, dim))
-                s, cnt, o = step[1](jnp.asarray(x), jnp.asarray(valid), c_pad)
+            for xj, vj, step_fn in staged:
+                s, cnt, o = step_fn(jnp.asarray(xj), jnp.asarray(vj), c_pad)
                 sums += np.asarray(s, np.float64)
                 counts += np.asarray(cnt, np.float64)
                 obj += float(o)

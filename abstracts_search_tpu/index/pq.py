@@ -150,16 +150,29 @@ class ProductQuantizer:
 
         step = self._build_train_step()
 
+        # stage padded batches on device when they fit (same rationale as
+        # KMeans.fit: don't re-upload the sample every Lloyd iteration)
+        from ..parallel.mesh import corpus_sharding
+        import jax as _jax
+
+        shard = corpus_sharding(self.mesh)
+        on_device = x.nbytes <= (4 << 30) * self.ndev
+        staged = []
+        for lo in range(0, n, batch_rows):
+            xp, valid = self._pad_rows(x[lo : lo + batch_rows])
+            if on_device:
+                xp = _jax.device_put(xp, shard)
+                valid = _jax.device_put(valid, shard)
+            staged.append((xp, valid))
+
         errs = []
         prev = None
         for it in range(iters):
-            # stream the sample through the device in batch_rows chunks
             cj = jnp.asarray(c)
             sums = np.zeros((self.m, self.ksub, self.dsub), np.float64)
             counts = np.zeros((self.m, self.ksub), np.float64)
             err = 0.0
-            for lo in range(0, n, batch_rows):
-                xp, valid = self._pad_rows(x[lo : lo + batch_rows])
+            for xp, valid in staged:
                 s, cnt, e = step(jnp.asarray(xp), jnp.asarray(valid), cj)
                 sums += np.asarray(s, np.float64)
                 counts += np.asarray(cnt, np.float64)

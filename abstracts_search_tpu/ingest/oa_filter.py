@@ -71,6 +71,8 @@ def filter_works_lines(lines: Iterable[str]) -> Iterator[dict]:
             rec = json.loads(line)
         except json.JSONDecodeError:
             continue  # skip malformed (the native filter warns + skips too)
+        if not isinstance(rec, dict):
+            continue  # top-level null/array/scalar: not a work record
         out = filter_record(rec)
         if out is not None:
             yield out

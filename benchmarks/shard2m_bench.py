@@ -1,0 +1,80 @@
+"""Full-shard validation: BASELINE.md configs 2/4 at one-shard scale.
+
+Builds an IVF-PQ index over one reference-sized shard (2,097,152 x 1024)
+on the real chip, sweeps nprobe against the exact flat oracle, and
+prints an operating-point table (recall@10 vs QPS/chip).
+"""
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+N = 2_097_152
+D = 1024
+K_LISTS = 4096
+TRAIN = 200_000
+NQ = 256
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from abstracts_search_tpu.index import FlatIndex
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+    from abstracts_search_tpu.parallel import build_mesh
+
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    x = rng.standard_normal((N, D), dtype=np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    print(f"corpus gen: {time.time()-t0:.0f}s", flush=True)
+
+    q = x[rng.choice(N, NQ, replace=False)] + 0.1 * rng.standard_normal((NQ, D), dtype=np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+
+    mesh = build_mesh()
+
+    t0 = time.time()
+    flat = FlatIndex(mesh, chunk=2048)
+    flat.add(x)
+    _, ref = flat.search(q, 10)
+    print(f"exact oracle: {time.time()-t0:.0f}s", flush=True)
+    del flat
+
+    idx = IVFPQIndex(K_LISTS, D, pq_m=64, pq_nbits=8, use_opq=False,
+                     mesh=mesh, seg_size=512, chunk=2048, seed=0, scan_impl="slots")
+    t0 = time.time()
+    idx.train(x[:TRAIN], kmeans_iters=6, pq_iters=6)
+    t_train = time.time() - t0
+    print(f"train: {t_train:.0f}s", flush=True)
+
+    t0 = time.time()
+    chunk_rows = 1 << 18
+    idx.fill_stream(
+        (x[lo:lo + chunk_rows], np.arange(lo, min(lo + chunk_rows, N), dtype=np.int64))
+        for lo in range(0, N, chunk_rows)
+    )
+    t_fill = time.time() - t0
+    print(f"fill: {t_fill:.0f}s ({N/t_fill/1e3:.0f} kvec/s) "
+          f"payload {sum(d.data.nbytes for d in idx.packed.per_device)/2**20:.0f} MiB", flush=True)
+
+    print(f"{'nprobe':>7} {'recall@10':>10} {'1-recall@10':>12} {'ms/batch':>9} {'QPS/chip':>9}")
+    for nprobe in (8, 16, 32, 64, 128):
+        v, pos = idx.search(q, 10, nprobe=nprobe)
+        overlap = np.mean([len(set(pos[i]) & set(ref[i])) / 10 for i in range(NQ)])
+        hit1 = np.mean([ref[i, 0] in pos[i] for i in range(NQ)])
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            idx.search(q, 10, nprobe=nprobe)
+        dt = (time.time() - t0) / reps - 0.026  # measured tunnel RTT
+        print(f"{nprobe:>7} {overlap:>10.3f} {hit1:>12.3f} {dt*1e3:>9.1f} {NQ/dt:>9.0f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
