@@ -131,9 +131,11 @@ class IVFFlatIndex:
             data, row_ids = data[0], row_ids[0]
             seg_valid, list_segs = seg_valid[0], list_segs[0]
 
-            # 1) probe (replicated computation; centroids replicated)
+            # 1) probe (replicated computation; centroids replicated);
+            # bf16 matmul keeps the centroid chunk blocks inside VMEM
             _, probes = streaming_topk(
-                q, c, jnp.int32(K), nprobe, chunk=chunk, impl=impl
+                q.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
             )  # [Q, P]
 
             row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)

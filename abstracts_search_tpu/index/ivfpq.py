@@ -218,9 +218,16 @@ class IVFPQIndex:
             codes3 = data.reshape(n_segs, seg, m_pq)
 
             qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
-            bias, probes = streaming_topk(
-                qr, c, jnp.int32(K), nprobe, chunk=chunk, impl=impl
+            # probe SELECTION in bf16 (VMEM/bandwidth), then recompute the
+            # exact f32 q.c_list bias for just the chosen lists — the bias
+            # feeds the ADC scores, so it must not carry bf16 rounding
+            _, probes = streaming_topk(
+                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
             )  # [Q, P]
+            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
+            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
+                              preferred_element_type=jnp.float32)
             luts = jnp.einsum(
                 "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
                 preferred_element_type=jnp.float32,
@@ -271,10 +278,14 @@ class IVFPQIndex:
 
             qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
 
-            # 1) probe: scores double as the q . c_list ADC bias
-            bias, probes = streaming_topk(
-                qr, c, jnp.int32(K), nprobe, chunk=chunk, impl=impl
-            )  # [Q, P], [Q, P]
+            # 1) probe in bf16, then exact f32 bias for the chosen lists
+            _, probes = streaming_topk(
+                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
+            )  # [Q, P]
+            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
+            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
+                              preferred_element_type=jnp.float32)
 
             # 2) shared residual LUTs: [Q, M, ksub] in one MXU einsum
             luts = jnp.einsum(
