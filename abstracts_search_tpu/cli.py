@@ -166,6 +166,37 @@ def cmd_clean(args, cfg):
 # -- query side ---------------------------------------------------------------------------
 
 
+def cmd_publish(args, cfg):
+    """Validate the publishable dataset layouts and print upload commands.
+
+    The reference publishes `abstracts-embeddings` (parquet + events) and
+    `abstracts-faiss` (index artifacts) as HF datasets (README.md:8,10);
+    those directories double as the disaster-recovery source for
+    `recover` (Makefile:98-101). This environment has no egress, so the
+    command stages/validates and emits the `hf upload` invocations.
+    """
+    from pathlib import Path
+
+    problems = []
+    emb_root = Path(cfg.data_dir).parent
+    if not Path(cfg.data_dir).is_dir() or not list(Path(cfg.data_dir).glob("data_*.parquet")):
+        problems.append(f"no parquet shards under {cfg.data_dir}")
+    if not (emb_root / "events").is_dir():
+        problems.append(f"no events/ next to {cfg.data_dir} (run `astpu all` to dump)")
+    idx_root = Path(cfg.index_dir)
+    for artifact in ("index", "ids.parquet", "params.json"):
+        if not (idx_root / artifact).exists():
+            problems.append(f"missing index artifact {idx_root / artifact}")
+    if problems:
+        for p in problems:
+            print(f"publish: NOT READY: {p}", file=sys.stderr)
+        raise RuntimeError("artifact layout incomplete")
+    print(f"# publish the embeddings dataset (CC0) — recovery source for `astpu recover`")
+    print(f"hf upload {args.embeddings_repo} {emb_root} --repo-type dataset")
+    print(f"# publish the trained index")
+    print(f"hf upload {args.faiss_repo} {idx_root.parent} --repo-type dataset")
+
+
 def cmd_search(args, cfg):
     from .serve.engine import SearchEngine
 
@@ -247,6 +278,11 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--manifest", help="manifest URL override (file:// ok)")
     sp.add_argument("--embedder", default="auto")
     sp.set_defaults(fn=cmd_sync)
+
+    sp = sub.add_parser("publish", help="validate artifact layouts; print upload commands")
+    sp.add_argument("--embeddings-repo", default="you/abstracts-embeddings")
+    sp.add_argument("--faiss-repo", default="you/abstracts-faiss")
+    sp.set_defaults(fn=cmd_publish)
 
     sp = sub.add_parser("search", help="one-shot query against the index")
     sp.add_argument("query")
