@@ -59,6 +59,7 @@ class IVFPQIndex:
         spherical: bool = True,
         impl: str = "auto",
         scan_impl: str = "auto",
+        storage: str = "device",
         seed: int = 0,
     ):
         self.n_lists = n_lists
@@ -71,6 +72,12 @@ class IVFPQIndex:
         # scan_impl: "map" (per-query XLA gather scan), "slots" (the
         # Pallas ADC kernel over (query, segment) slots), "auto"
         self.scan_impl = scan_impl
+        # storage: "device" = packed lists live in HBM across the mesh;
+        # "host" = lists stay in host RAM and probed segments are
+        # gathered per batch — the OnDiskInvertedLists analog
+        # (reference `ondisk.ivfdata`, Makefile:11; SURVEY.md §5) for
+        # corpora whose codes exceed aggregate HBM.
+        self.storage = storage
         self.seed = seed
         self.use_opq = use_opq
 
@@ -169,17 +176,29 @@ class IVFPQIndex:
             np.concatenate(pos_parts),
             np.concatenate(assign_parts),
             self.n_lists,
-            ndev=self.ndev, seg_size=self.seg_size,
+            # host-resident lists are one logical shard in host RAM
+            ndev=self.ndev if self.storage == "device" else 1,
+            seg_size=self.seg_size,
         )
         self._install(packed)
 
     def _install(self, packed: PackedLists) -> None:
         self.packed = packed
         self.n = packed.n_rows
-        stacked = packed.stacked()
-        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
-        self._dev_arrays = tuple(jax.device_put(a, shard) for a in stacked)
         repl = NamedSharding(self.mesh, P())
+        if self.storage == "device":
+            stacked = packed.stacked()
+            shard = NamedSharding(self.mesh, P(SHARD_AXIS))
+            self._dev_arrays = tuple(jax.device_put(a, shard) for a in stacked)
+        else:
+            # host mode: lists stay as numpy; the search gathers probed
+            # segments per batch and ships only those to the device
+            dl = packed.per_device[0]
+            self._host_codes3 = dl.data.reshape(-1, self.seg_size, self.pq.m)
+            self._host_row_ids = dl.row_ids
+            self._host_seg_valid = dl.seg_valid
+            self._host_list_segs = dl.list_segs
+            self._dev_arrays = ()
         self._centroids_dev = jax.device_put(self._padded_centroids(), repl)
         self._pq_cent_dev = jax.device_put(self.pq.centroids, repl)
         self._rot_dev = jax.device_put(self.rotation, repl)
@@ -334,13 +353,94 @@ class IVFPQIndex:
         )
         return jax.jit(fn)
 
+    # -- host-resident-lists search (the ondisk.ivfdata analog) -------------------
+
+    def _build_host_probe(self, qn: int, nprobe: int):
+        chunk, impl, K = self.chunk, self.impl, self.n_lists
+        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
+
+        def probe(q, rot, c, pqc):
+            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+            _, probes = streaming_topk(
+                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
+            )
+            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
+            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
+                              preferred_element_type=jnp.float32)
+            luts = jnp.einsum(
+                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
+                preferred_element_type=jnp.float32,
+            )
+            return probes, bias, luts
+
+        return jax.jit(probe)
+
+    def _build_host_rank(self, qn: int, k: int, slots_per_q: int):
+        seg = self.seg_size
+
+        from ..ops.adc import adc_scan_pallas
+
+        def rank(codes3, luts, slot_bias, live):
+            n_slots = qn * slots_per_q
+            seg_ids = jnp.arange(n_slots, dtype=jnp.int32)  # gathered tiles, in order
+            scores = adc_scan_pallas(codes3, luts, seg_ids)
+            scores = scores + slot_bias[:, None]
+            flat = jnp.where(live, scores, NEG_INF).reshape(qn, -1)
+            if flat.shape[1] < k:
+                flat = jnp.pad(flat, ((0, 0), (0, k - flat.shape[1])),
+                               constant_values=NEG_INF)
+            return lax.top_k(flat, k)
+
+        return jax.jit(rank)
+
+    def _search_host(self, q: np.ndarray, k: int, nprobe: int):
+        qn = q.shape[0]
+        msegs = self.packed.max_segs
+        key = ("hp", qn, nprobe)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._build_host_probe(qn, nprobe)
+        probes, bias, luts = self._search_cache[key](
+            jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev
+        )
+        probes = np.asarray(probes)
+
+        # host gather of exactly the probed segments
+        segs = self._host_list_segs[probes]                      # [Q, P, msegs]
+        seg_flat = segs.reshape(-1)
+        owned = seg_flat >= 0
+        segc = np.where(owned, seg_flat, 0)
+        codes3 = self._host_codes3[segc]                         # [n_slots, SEG, M]
+        row_iota = np.arange(self.seg_size, dtype=np.int32)[None, :]
+        live = owned[:, None] & (row_iota < self._host_seg_valid[segc][:, None])
+        slot_bias = np.repeat(np.asarray(bias).reshape(-1), msegs)
+
+        key2 = ("hr", qn, k, nprobe * msegs)
+        if key2 not in self._search_cache:
+            self._search_cache[key2] = self._build_host_rank(qn, k, nprobe * msegs)
+        v, idx = self._search_cache[key2](
+            jnp.asarray(codes3), luts, jnp.asarray(slot_bias), jnp.asarray(live)
+        )
+        v, idx = np.asarray(v), np.asarray(idx)
+
+        # map flat (slot, row) candidates back to corpus positions
+        rows = (segc[:, None] * self.seg_size + row_iota).reshape(qn, -1)
+        if rows.shape[1] < k:
+            rows = np.pad(rows, ((0, 0), (0, k - rows.shape[1])))
+        chosen = np.take_along_axis(rows, idx, axis=1)
+        pos = self._host_row_ids[chosen].astype(np.int64)
+        pos[v == NEG_INF] = -1
+        return v, pos
+
     def search(self, queries: np.ndarray, k: int, *, nprobe: int = 8):
-        if self._dev_arrays is None:
+        if self.packed is None:
             raise RuntimeError("fill() before search()")
         q = np.asarray(queries, np.float32)
         if self.spherical:
             q = _normalize_rows(q)
         nprobe = min(nprobe, self.n_lists)
+        if self.storage == "host":
+            return self._search_host(q, k, nprobe)
         key = (q.shape[0], k, nprobe)
         if key not in self._search_cache:
             self._search_cache[key] = self._build_search(*key)
@@ -402,9 +502,11 @@ class IVFPQIndex:
             from .lists import DeviceLists
 
             ndev_saved = z["data"].shape[0]
-            if ndev_saved != idx.ndev:
+            want = idx.ndev if idx.storage == "device" else 1
+            if ndev_saved != want:
                 raise ValueError(
-                    f"saved for {ndev_saved} devices, mesh has {idx.ndev}; refill needed"
+                    f"saved for {ndev_saved} shards, need {want} "
+                    f"({idx.storage} storage); refill needed"
                 )
             per_dev = [
                 DeviceLists(z["data"][i], z["row_ids"][i], z["seg_valid"][i], z["list_segs"][i])

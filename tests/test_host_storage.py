@@ -1,0 +1,54 @@
+"""Host-resident lists (the ondisk.ivfdata analog) vs device storage."""
+
+import numpy as np
+
+from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+from abstracts_search_tpu.parallel import build_mesh
+
+
+def _build(rng, storage, x, **kw):
+    idx = IVFPQIndex(8, x.shape[1], pq_m=8, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0,
+                     storage=storage, **kw)
+    idx.train(x, kmeans_iters=5, pq_iters=5)
+    idx.fill(x)
+    return idx
+
+
+def test_host_storage_matches_device(rng):
+    n, d = 2000, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:7] + 0.05 * rng.standard_normal((7, d)).astype(np.float32)
+
+    dev = _build(rng, "device", x, scan_impl="slots")
+    host = _build(rng, "host", x)
+
+    vd, pd = dev.search(q, 6, nprobe=4)
+    vh, ph = host.search(q, 6, nprobe=4)
+    np.testing.assert_allclose(vh, vd, rtol=2e-2, atol=2e-2)
+    agree = np.mean([len(set(ph[i]) & set(pd[i])) / 6 for i in range(7)])
+    assert agree > 0.9, agree
+
+
+def test_host_storage_save_load(tmp_path, rng):
+    n, d = 800, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    host = _build(rng, "host", x)
+    q = x[:3]
+    v1, p1 = host.search(q, 5, nprobe=8)
+    host.save(tmp_path / "idx")
+    loaded = IVFPQIndex.load(tmp_path / "idx", mesh=build_mesh(), chunk=128,
+                             storage="host")
+    v2, p2 = loaded.search(q, 5, nprobe=8)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_host_storage_k_exceeds(rng):
+    x = rng.standard_normal((60, 16)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    host = _build(rng, "host", x)
+    v, pos = host.search(x[:2], 40, nprobe=1)
+    assert (pos[v == -np.inf] == -1).all()
