@@ -61,6 +61,7 @@ class Config:
     pq_m: int = 64                    # PQ subquantizers (64 B/vec at 8 bits)
     pq_nbits: int = 8
     opq: bool = True
+    index_storage: str = "device"     # "device" (HBM) | "host" (RAM, ondisk analog)
 
     # Ingest
     manifest_url: str = "https://openalex.s3.amazonaws.com/data/works/manifest"

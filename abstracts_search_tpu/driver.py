@@ -155,6 +155,7 @@ class Driver:
             pq_m=self.cfg.pq_m, pq_nbits=self.cfg.pq_nbits,
             use_opq=self.cfg.opq, mesh=self.mesh,
             spherical=self.cfg.normalize,
+            storage=self.cfg.index_storage,
         )
         stats = index.train(sample, kmeans_iters=kmeans_iters)
         index.save(self.empty_dir, include_lists=False)
@@ -166,7 +167,7 @@ class Driver:
 
     def _load_index(self, *, filled: bool) -> IVFPQIndex:
         d = self.filled_dir if filled else self.empty_dir
-        return IVFPQIndex.load(d, mesh=self.mesh)
+        return IVFPQIndex.load(d, mesh=self.mesh, storage=self.cfg.index_storage)
 
     def target_fill(self, *, force: bool = False) -> bool:
         self.target_train()

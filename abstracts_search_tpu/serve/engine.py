@@ -52,7 +52,7 @@ class SearchEngine:
             raise FileNotFoundError(
                 f"no filled index under {index_dir} (run `astpu index fill` / `astpu all`)"
             )
-        index = IVFPQIndex.load(filled, mesh=mesh)
+        index = IVFPQIndex.load(filled, mesh=mesh, storage=cfg.index_storage)
 
         params_path = index_dir / "params.json"
         nprobe = 16
