@@ -92,30 +92,45 @@ def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *,
 
     # Fold chunk into the running top-k: k rounds of max/argmax selection
     # over the [Q, k + C] candidate set. Mosaic has no sort/gather and
-    # dynamic lane-indexed stores must be 128-aligned, so round j writes
-    # its winner into output column j with a lane-mask select; the loop
-    # is a fori_loop (a static unroll at k=64+ blows the VMEM stack).
+    # dynamic lane-indexed stores must be 128-aligned, so winners are
+    # written via whole-array stores. Small k: static unroll (fastest).
+    # Large k: fori_loop with select-writes — a k=64+ unroll blows the
+    # Mosaic VMEM stack, and the loop overhead is amortized anyway.
     mv = jnp.concatenate([vals_s[:], s], axis=1)
     mi = jnp.concatenate([idx_s[:], cols], axis=1)
     colid = lax.broadcasted_iota(jnp.int32, mv.shape, 1)
-    colk = lax.broadcasted_iota(jnp.int32, (qn, k), 1)
 
-    def body(j, carry):
-        mv, ov, oi = carry
-        m = jnp.max(mv, axis=1, keepdims=True)
-        am = jnp.argmax(mv, axis=1).reshape(qn, 1)
-        sel = colid == am
-        iv = jnp.sum(jnp.where(sel, mi, 0), axis=1, keepdims=True)
-        ov = jnp.where(colk == j, m, ov)
-        oi = jnp.where(colk == j, iv, oi)
-        return jnp.where(sel, NEG_INF, mv), ov, oi
+    if k <= 16:
+        sel_vals, sel_idx = [], []
+        for _ in range(k):
+            m = jnp.max(mv, axis=1, keepdims=True)
+            am = jnp.argmax(mv, axis=1).reshape(qn, 1)
+            sel = colid == am
+            sel_vals.append(m)
+            sel_idx.append(jnp.sum(jnp.where(sel, mi, 0), axis=1, keepdims=True))
+            mv = jnp.where(sel, NEG_INF, mv)
+        vals_s[:] = jnp.concatenate(sel_vals, axis=1)
+        idx_s[:] = jnp.concatenate(sel_idx, axis=1)
+    else:
+        colk = lax.broadcasted_iota(jnp.int32, (qn, k), 1)
 
-    _, ov, oi = lax.fori_loop(
-        0, k, body,
-        (mv, jnp.full((qn, k), NEG_INF, jnp.float32), jnp.zeros((qn, k), jnp.int32)),
-    )
-    vals_s[:] = ov
-    idx_s[:] = oi
+        def body(j, carry):
+            mv, ov, oi = carry
+            m = jnp.max(mv, axis=1, keepdims=True)
+            am = jnp.argmax(mv, axis=1).reshape(qn, 1)
+            sel = colid == am
+            iv = jnp.sum(jnp.where(sel, mi, 0), axis=1, keepdims=True)
+            ov = jnp.where(colk == j, m, ov)
+            oi = jnp.where(colk == j, iv, oi)
+            return jnp.where(sel, NEG_INF, mv), ov, oi
+
+        _, ov, oi = lax.fori_loop(
+            0, k, body,
+            (mv, jnp.full((qn, k), NEG_INF, jnp.float32),
+             jnp.zeros((qn, k), jnp.int32)),
+        )
+        vals_s[:] = ov
+        idx_s[:] = oi
 
     @pl.when(i == nchunks - 1)
     def _():
