@@ -139,16 +139,63 @@ class IVFPQIndex:
 
     # -- fill --------------------------------------------------------------------
 
-    def encode(self, vectors: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def _build_encode_fused(self):
+        """One device round trip per chunk: rotate -> coarse-assign ->
+        residual -> PQ-encode, all on the mesh. (The naive composition
+        uploads each chunk 4x and downloads twice — at fill scale the
+        host<->device link is the bottleneck, not compute.)"""
+        chunk, impl, K = self.chunk, self.impl, self.n_lists
+        m_pq, dsub, ksub = self.pq.m, self.pq.dsub, self.pq.ksub
+
+        def local(x, rot, c, pqc):
+            xr = jnp.dot(x, rot, preferred_element_type=jnp.float32)
+            _, idx = streaming_topk(
+                xr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), 1, chunk=chunk, impl=impl,
+            )
+            a = idx[:, 0]
+            res = xr - jnp.take(c, a, axis=0)
+            r3 = res.reshape(res.shape[0], m_pq, dsub)
+            dots = jnp.einsum("nmd,mkd->nmk", r3, pqc,
+                              preferred_element_type=jnp.float32)
+            c2 = jnp.sum(jnp.square(pqc), axis=-1)          # [M, ksub]
+            codes = jnp.argmin(c2[None] - 2.0 * dots, axis=-1).astype(jnp.int32)
+            return a, codes
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P(), P(), P()),
+            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def encode(self, vectors: np.ndarray, *, batch_rows: int = 1 << 18
+               ) -> tuple[np.ndarray, np.ndarray]:
         """-> (list assignment [N], residual PQ codes [N, M] uint8)."""
         x = np.asarray(vectors, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
-        from .opq import _rotate
+        if not hasattr(self, "_encode_fused"):
+            self._encode_fused = self._build_encode_fused()
+        rot = jnp.asarray(self.rotation)
+        c = jnp.asarray(self._padded_centroids())
+        pqc = jnp.asarray(self.pq.centroids)
 
-        xr = _rotate(x, self.rotation)  # on device; host matmul is 1-core slow
-        _, assign = self.kmeans.assign(xr)
-        codes = self.pq.encode(xr - self.kmeans.centroids[assign])
+        n = len(x)
+        ndev = self.ndev
+        assign = np.empty(n, np.int64)
+        codes = np.empty((n, self.pq.m), np.uint8)
+        for lo in range(0, n, batch_rows):
+            xc = x[lo : lo + batch_rows]
+            per = _round_up(_round_up(len(xc), ndev) // ndev, 8)
+            total = per * ndev
+            if total != len(xc):
+                xc = np.concatenate([xc, np.zeros((total - len(xc), x.shape[1]), x.dtype)])
+            a, cd = self._encode_fused(jnp.asarray(xc), rot, c, pqc)
+            take = min(batch_rows, n - lo)
+            assign[lo : lo + take] = np.asarray(a)[:take]
+            codes[lo : lo + take] = np.asarray(cd)[:take].astype(np.uint8)
         return assign, codes
 
     def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
