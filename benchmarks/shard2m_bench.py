@@ -34,7 +34,12 @@ def main() -> None:
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     print(f"corpus gen: {time.time()-t0:.0f}s", flush=True)
 
-    q = x[rng.choice(N, NQ, replace=False)] + 0.1 * rng.standard_normal((NQ, D), dtype=np.float32)
+    # query = corpus row + small perturbation. At D=1024 a per-dim noise
+    # of 0.1 gives a noise VECTOR of norm ~3.2 vs the unit row — the
+    # query becomes 95% noise and coarse probing degenerates (that's the
+    # data model being broken, not the index). 0.01/dim => cosine ~0.95
+    # to the source, which is what real near-duplicate queries look like.
+    q = x[rng.choice(N, NQ, replace=False)] + 0.01 * rng.standard_normal((NQ, D), dtype=np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     mesh = build_mesh()
