@@ -61,13 +61,23 @@ def main() -> None:
     # compile + sync (first compile through the tunnel is slow)
     np.asarray(fn(qs[0], x)[0])
 
-    # chained dispatch, one sync at the end: the per-call host round trip
-    # through the axon tunnel (~50ms) would otherwise swamp the kernel
+    # measure the host round trip so it can be subtracted (only a
+    # device->host transfer truly syncs on the remote backend)
+    tiny = jax.jit(lambda v: v + 1)
+    z = jnp.zeros((1,))
+    np.asarray(tiny(z))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        np.asarray(tiny(z))
+    rtt = (time.perf_counter() - t0) / 10
+
+    # chained dispatch, one sync at the end: per-call round trips would
+    # otherwise swamp the kernel
     reps = 16
     t0 = time.perf_counter()
     outs = [fn(qs[r % 4], x) for r in range(reps)]
     np.asarray(outs[-1][0])
-    dt = (time.perf_counter() - t0 - 0.05) / reps
+    dt = (time.perf_counter() - t0 - rtt) / reps
 
     qps = Q / dt
     result = {
