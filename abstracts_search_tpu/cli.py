@@ -28,7 +28,6 @@ import logging
 import sys
 from pathlib import Path
 
-import numpy as np
 
 from .config import load_config
 

@@ -32,7 +32,7 @@ from pathlib import Path
 import numpy as np
 
 from .config import Config
-from .ingest.manifest import default_fetcher, group_by_partition, parse_manifest, update_manifest_file
+from .ingest.manifest import default_fetcher, parse_manifest, update_manifest_file
 from .ingest.sync import SyncState, sync
 from .models.registry import get_embedder
 from .parallel.mesh import build_mesh

@@ -16,14 +16,12 @@ bfloat16 (half the bandwidth of f32 at equal recall for unit vectors).
 
 from __future__ import annotations
 
-import functools
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from ..parallel.mesh import SHARD_AXIS, build_mesh, corpus_sharding

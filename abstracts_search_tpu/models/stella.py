@@ -19,7 +19,6 @@ same conversion path once checkpoints are present.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -10,7 +10,6 @@ layer wants (any host can read them without extra transfers).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

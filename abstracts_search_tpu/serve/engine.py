@@ -11,7 +11,6 @@ from __future__ import annotations
 import logging
 from pathlib import Path
 
-import numpy as np
 
 from ..config import Config
 from ..index.ivfpq import IVFPQIndex

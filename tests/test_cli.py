@@ -2,7 +2,6 @@
 
 import json
 
-import numpy as np
 import pytest
 
 from abstracts_search_tpu.cli import main

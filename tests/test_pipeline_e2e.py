@@ -11,13 +11,11 @@ import urllib.error
 import urllib.request
 from pathlib import Path
 
-import numpy as np
 import pytest
 
 from abstracts_search_tpu.config import Config
 from abstracts_search_tpu.driver import Driver, read_ids_parquet
 from abstracts_search_tpu.serve.engine import SearchEngine
-from abstracts_search_tpu.serve.hydrate import OpenAlexClient
 
 
 def _work(i, date):

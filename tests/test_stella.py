@@ -9,7 +9,6 @@ randomly-initialized torch Qwen2Model as the oracle.
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from abstracts_search_tpu.models import (

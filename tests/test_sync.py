@@ -7,7 +7,6 @@ ingest, crash-then-rerun safety.
 
 import gzip
 import json
-from pathlib import Path
 
 import numpy as np
 import pytest
