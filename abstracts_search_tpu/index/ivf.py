@@ -44,7 +44,7 @@ class IVFFlatIndex:
         n_lists: int,
         *,
         mesh=None,
-        seg_size: int = 128,
+        seg_size: int = 512,  # bigger segments amortize per-slot overhead (RESULTS.md)
         chunk: int = 1024,
         spherical: bool = True,
         impl: str = "auto",

@@ -54,7 +54,7 @@ class IVFPQIndex:
         pq_nbits: int = 8,
         use_opq: bool = True,
         mesh=None,
-        seg_size: int = 128,
+        seg_size: int = 512,  # bigger segments amortize per-slot overhead (RESULTS.md)
         chunk: int = 1024,
         spherical: bool = True,
         impl: str = "auto",
