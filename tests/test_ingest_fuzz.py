@@ -53,8 +53,12 @@ def _random_record(rnd: random.Random) -> dict:
     return rec
 
 
-def test_fuzz_differential():
-    rnd = random.Random(1234)
+import pytest
+
+
+@pytest.mark.parametrize("seed", [1234, 777, 424242])
+def test_fuzz_differential(seed):
+    rnd = random.Random(seed)
     lines = []
     for i in range(800):
         if rnd.random() < 0.05:
