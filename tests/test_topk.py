@@ -16,6 +16,20 @@ def _ref_topk(q, x, n_valid, k):
 
 
 @pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+def test_streaming_topk_large_k_fori_branch(rng, impl):
+    """k > 16 exercises the fori_loop merge (the unroll blew VMEM at k>=64)."""
+    Q, D, N, k, chunk = 4, 16, 256, 32, 64
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    v, i = streaming_topk(jnp.asarray(q), jnp.asarray(x), jnp.int32(N), k,
+                          chunk=chunk, impl=impl)
+    rv, ri = _ref_topk(q, x, N, k)
+    np.testing.assert_allclose(np.asarray(v), rv, rtol=1e-5, atol=1e-5)
+    got_scores = np.take_along_axis(q @ x.T, np.asarray(i), axis=1)
+    np.testing.assert_allclose(got_scores, rv, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
 @pytest.mark.parametrize("n_valid", [512, 400, 129])
 def test_streaming_topk_matches_exact(rng, impl, n_valid):
     Q, D, N, k, chunk = 8, 32, 512, 10, 128
