@@ -130,7 +130,13 @@ def cmd_index(args, cfg):
     elif args.index_cmd == "clean":
         import shutil
 
-        for p in (d.index_dir,):
+        # `--source <data>` (reference Makefile:104-105): also drop the
+        # build intermediates cached next to that data dir (training-
+        # sample memmaps etc.), not just the index artifacts.
+        targets = [d.index_dir]
+        if args.data:
+            targets.append(Path(args.data) / ".astpu_cache")
+        for p in targets:
             if p.exists():
                 shutil.rmtree(p)
         print("index artifacts removed")

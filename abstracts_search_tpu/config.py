@@ -46,7 +46,11 @@ class Config:
     # Embedding / model
     model_name: str = DEFAULT_MODEL
     query_prompt: str = DEFAULT_QUERY_PROMPT
-    trust_remote_code: bool = False
+    # stella ships remote code; the reference pipeline always runs with
+    # SIDECARSEARCH_TRUST_REMOTE_CODE=1 / TRUST_REMOTE_CODE=1
+    # (README.md:28,60), so that is the compatible default. Set the env
+    # var to 0 to disable.
+    trust_remote_code: bool = True
     embed_batch: int = DEFAULT_EMBED_BATCH
     embed_dim: int = DEFAULT_EMBED_DIM
 

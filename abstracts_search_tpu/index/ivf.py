@@ -90,11 +90,17 @@ class IVFFlatIndex:
         """Assign + pack all vectors into device-sharded lists."""
         if not self.is_trained:
             raise RuntimeError("train() before fill()")
+        if self.packed is not None:
+            # replace-not-append semantics would silently drop the old
+            # rows (cf. IVFPQIndex.fill_stream); refill a fresh index
+            raise RuntimeError(
+                "index already filled; re-fill a freshly trained/loaded index"
+            )
         vectors = np.asarray(vectors, np.float32)
         if self.spherical:
             vectors = _normalize_rows(vectors)
         if positions is None:
-            positions = np.arange(self.n, self.n + len(vectors), dtype=np.int64)
+            positions = np.arange(len(vectors), dtype=np.int64)
         _, assign = self.kmeans.assign(vectors)
         packed = pack_lists(
             vectors, positions, assign, self.n_lists,

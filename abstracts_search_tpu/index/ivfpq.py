@@ -200,7 +200,7 @@ class IVFPQIndex:
 
     def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
         if positions is None:
-            positions = np.arange(self.n, self.n + len(vectors), dtype=np.int64)
+            positions = np.arange(len(vectors), dtype=np.int64)
         self.fill_stream([(vectors, positions)])
 
     def fill_stream(self, chunks) -> None:
@@ -212,6 +212,15 @@ class IVFPQIndex:
         parts': fill must stream shards through device memory)."""
         if not self.is_trained:
             raise RuntimeError("train() before fill()")
+        if self.packed is not None:
+            # a second fill would REPLACE the packed lists while callers
+            # may expect append; refills go through a fresh index (the
+            # reference re-fills from the empty.faiss artifact each sync,
+            # Makefile:23-25 — never appends to a filled one)
+            raise RuntimeError(
+                "index already filled; load the empty (trained) artifacts "
+                "and re-fill the full corpus instead of appending"
+            )
         codes_parts, assign_parts, pos_parts = [], [], []
         for vectors, positions in chunks:
             assign, codes = self.encode(vectors)

@@ -21,7 +21,7 @@ logger = logging.getLogger(__name__)
 _PAGE = """<!doctype html>
 <html><head><title>abstracts-search (TPU)</title>
 <style>body{font-family:sans-serif;max-width:50em;margin:2em auto}
-input{width:70%%;padding:.5em}button{padding:.5em 1em}
+input{width:70%;padding:.5em}button{padding:.5em 1em}
 li{margin:.6em 0}</style></head>
 <body><h2>abstracts-search — TPU-native semantic search</h2>
 <form onsubmit="go();return false"><input id=q placeholder="search 200M+ abstracts...">
@@ -31,10 +31,21 @@ async function go(){
   const q=document.getElementById('q').value;
   const r=await fetch('/search?q='+encodeURIComponent(q));
   const d=await r.json();
-  document.getElementById('out').innerHTML=d.results.map(x=>
-    `<li><a href="${x.id}">${x.title||x.id}</a> `+
-    `<small>(${(x.score).toFixed(3)}${x.publication_year?', '+x.publication_year:''})</small></li>`
-  ).join('');
+  const out=document.getElementById('out');
+  out.replaceChildren();
+  for(const x of d.results){
+    // hydrated metadata is third-party content: build nodes with
+    // textContent (no raw HTML injection) and only link http(s) ids
+    const li=document.createElement('li');
+    const a=document.createElement('a');
+    if(/^https?:[/][/]/.test(x.id)) a.href=x.id;
+    a.textContent=x.title||x.id;
+    const small=document.createElement('small');
+    small.textContent=' ('+x.score.toFixed(3)+
+      (x.publication_year?', '+x.publication_year:'')+')';
+    li.append(a, small);
+    out.append(li);
+  }
 }
 </script></body></html>"""
 
