@@ -62,6 +62,7 @@ class Config:
     ivf_centroids: int = DEFAULT_IVF_CENTROIDS
     normalize: bool = True            # TRAINFLAGS -N: unit-sphere inner product
     train_sample: int = 10_000_000    # k-means/PQ training subset size
+    tune_sample: int = 100_000        # sample-fill size when tuning unfilled
     # PQ code layout. Default matches the faiss-style PQ64x8 (64 B/vec).
     # Measured on v5e: pq_m=128, pq_nbits=4 (same 64 B/vec, fastscan-
     # style) gives ~1.5x the QPS at equal-or-better recall — preferred
@@ -89,6 +90,7 @@ _ENV_MAP = {
     "ASTPU_STORE": ("store_path", str),
     "ASTPU_EMBED_DIM": ("embed_dim", int),
     "ASTPU_TRAIN_SAMPLE": ("train_sample", int),
+    "ASTPU_TUNE_SAMPLE": ("tune_sample", int),
     # Reference-compatible names (README.md:28,60)
     "SIDECARSEARCH_MODEL": ("model_name", str),
     "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),

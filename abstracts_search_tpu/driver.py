@@ -206,18 +206,26 @@ class Driver:
         if self.params_path.exists() and not force:
             logger.info("tune: params.json present, skipping")
             return False
-        # tune on the filled index when available, else on a sampled fill
+        # Tune on the filled index when available — against the FULL
+        # corpus reader, so the exact oracle and index.search share one
+        # global position space (tuning a full index against a sample-
+        # local oracle was the round-1 recall bug). Without a filled
+        # index, fill a temporary one with a sample; then sample-local
+        # positions ARE the index's positions and the array oracle is
+        # consistent.
+        reader = ShardReader(self.data_dir)
         if self.filled_dir.is_dir():
             index = self._load_index(filled=True)
-            reader = ShardReader(self.data_dir)
-            sample = reader.sample(min(len(reader), 100_000))
+            source = reader
+            n_rows = len(reader)
         else:
             index = self._load_index(filled=False)
-            reader = ShardReader(self.data_dir)
-            sample = reader.sample(min(len(reader), 100_000))
+            sample = reader.sample(min(len(reader), self.cfg.tune_sample))
             index.fill(sample)
+            source = sample
+            n_rows = len(sample)
         params = tune_index(
-            index, sample, n_queries=min(n_queries, len(sample)),
+            index, source, n_queries=min(n_queries, n_rows),
             k=k, target_recall=target_recall,
         )
         write_params(self.params_path, params)

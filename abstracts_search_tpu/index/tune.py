@@ -3,9 +3,18 @@
 Replaces faiss `ParameterSpace` autotune behind `sidecar-search index
 tune` (SURVEY.md §2 #8; reference Makefile:30-32, artifact
 `params.json` Makefile:12): sweep ``nprobe`` operating points on
-held-out queries, measuring recall@k against the exact flat oracle
-(SURVEY.md §7 step 9 — the flat index doubles as ground truth) and
-wall-clock QPS, then pick the cheapest point meeting the recall target.
+held-out queries, measuring recall@k against the exact oracle
+(SURVEY.md §7 step 9) and wall-clock QPS, then pick the cheapest point
+meeting the recall target.
+
+Position spaces: ``index.search`` returns GLOBAL corpus positions, so
+the oracle must be computed in the same space. When tuning a
+full-corpus index, pass the corpus *source* (a ShardReader or anything
+with ``iter_row_groups``/``sample``/``__len__``) — the oracle then
+streams every row group through an exact scan, numbering rows exactly
+like fill did. Passing only a sample of a larger corpus produces
+sample-local oracle positions and meaningless recall (the round-1
+tune bug).
 """
 
 from __future__ import annotations
@@ -20,32 +29,103 @@ from ..parallel.mesh import build_mesh
 from .flat import FlatIndex
 
 DEFAULT_NPROBES = (1, 2, 4, 8, 16, 32, 64, 128, 256)
+NEG_INF = float("-inf")
+
+
+def _is_reader(source) -> bool:
+    return hasattr(source, "iter_row_groups")
 
 
 def make_holdout_queries(
-    vectors: np.ndarray, n_queries: int, *, noise: float = 0.0, seed: int = 0
+    source, n_queries: int, *, noise: float = 0.0, seed: int = 0
 ) -> np.ndarray:
-    """Held-out queries: sampled corpus rows, optionally perturbed."""
+    """Held-out queries: sampled corpus rows, optionally perturbed.
+
+    ``source`` is an [N, D] array or a shard reader (``sample``/``__len__``).
+    """
     rng = np.random.default_rng(seed)
-    picks = rng.choice(len(vectors), size=min(n_queries, len(vectors)), replace=False)
-    q = vectors[picks].astype(np.float32).copy()
+    if _is_reader(source):
+        q = np.asarray(source.sample(min(n_queries, len(source)), seed=seed),
+                       np.float32).copy()
+    else:
+        picks = rng.choice(len(source), size=min(n_queries, len(source)),
+                           replace=False)
+        q = source[picks].astype(np.float32).copy()
     if noise > 0:
         q += noise * rng.standard_normal(q.shape).astype(np.float32)
     return q
 
 
-def exact_ground_truth(vectors: np.ndarray, queries: np.ndarray, k: int, *, mesh=None,
+def exact_ground_truth(source, queries: np.ndarray, k: int, *, mesh=None,
                        chunk: int = 1024):
-    """Top-k oracle via the exact flat index (streams; no O(N*Q) memory)."""
-    mesh = mesh if mesh is not None else build_mesh()
-    flat = FlatIndex(mesh, chunk=chunk)
-    flat.add(vectors)
-    return flat.search(queries, k)
+    """Top-k oracle in GLOBAL corpus positions.
+
+    ``source``: [N, D] array (positions = array indices) or a shard
+    reader — then row groups are streamed through an exact scan and
+    positions number rows in reader order, exactly matching the
+    positions fill assigned (driver.target_fill).
+    """
+    if not _is_reader(source):
+        mesh = mesh if mesh is not None else build_mesh()
+        flat = FlatIndex(mesh, chunk=chunk)
+        flat.add(source)
+        return flat.search(queries, k)
+    return _exact_ground_truth_stream(source, queries, k, chunk=chunk)
+
+
+def _exact_ground_truth_stream(reader, queries: np.ndarray, k: int, *,
+                               chunk: int = 1024):
+    """Stream the full corpus once; merge a running top-k on host.
+
+    One jitted fused top-k per row-group shape; the corpus never lands
+    in host RAM whole (the reference tunes on a 16 GB machine,
+    /root/reference/README.md:33).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.topk import streaming_topk
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    qd = jnp.asarray(np.asarray(queries, np.float32), dtype=dtype)
+    qn = qd.shape[0]
+    kk = min(k, chunk)
+
+    fns: dict = {}
+
+    def fn_for(padded: int):
+        if padded not in fns:
+            fns[padded] = jax.jit(
+                lambda q, x, nv: streaming_topk(q, x, nv, kk, chunk=chunk)
+            )
+        return fns[padded]
+
+    best_v = np.full((qn, k), NEG_INF, np.float32)
+    best_p = np.full((qn, k), -1, np.int64)
+    offset = 0
+    for _, embs in reader.iter_row_groups(with_ids=False):
+        n = len(embs)
+        padded = -(-n // chunk) * chunk
+        if padded != n:
+            embs = np.concatenate(
+                [embs, np.zeros((padded - n, embs.shape[1]), embs.dtype)]
+            )
+        v, i = fn_for(padded)(qd, jnp.asarray(embs, dtype=dtype), jnp.int32(n))
+        v = np.asarray(v, np.float32)
+        p = np.asarray(i, np.int64) + offset
+        p[v == NEG_INF] = -1
+        all_v = np.concatenate([best_v, v], axis=1)
+        all_p = np.concatenate([best_p, p], axis=1)
+        sel = np.argsort(-all_v, axis=1, kind="stable")[:, :k]
+        best_v = np.take_along_axis(all_v, sel, axis=1)
+        best_p = np.take_along_axis(all_p, sel, axis=1)
+        offset += n
+    return best_v, best_p
 
 
 def tune_index(
     index,
-    vectors: np.ndarray,
+    source,
     *,
     n_queries: int = 256,
     k: int = 10,
@@ -54,11 +134,17 @@ def tune_index(
     seed: int = 0,
     timing_reps: int = 3,
 ) -> dict:
-    """Sweep nprobe; return the params.json payload."""
-    queries = make_holdout_queries(vectors, n_queries, seed=seed)
+    """Sweep nprobe; return the params.json payload.
+
+    ``source`` must cover the SAME rows (in the same order) the index
+    was filled with — an array for a sample-filled index, the shard
+    reader for a full-corpus index — so oracle and index positions live
+    in one space.
+    """
+    queries = make_holdout_queries(source, n_queries, seed=seed)
     if getattr(index, "spherical", False):
         queries /= np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    _, ref = exact_ground_truth(vectors, queries, k,
+    _, ref = exact_ground_truth(source, queries, k,
                                 mesh=index.mesh, chunk=index.chunk)
 
     points = []

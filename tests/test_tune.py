@@ -45,3 +45,52 @@ def test_make_holdout_queries_shapes(rng):
     assert q.shape == (20, 8)
     q2 = make_holdout_queries(x, 500)
     assert q2.shape == (100, 8)  # capped at corpus size
+
+
+def _write_shards(tmp_path, x, *, shard_size=1024, row_group_size=256):
+    from abstracts_search_tpu.storage.shards import ShardReader, ShardWriter
+
+    d = tmp_path / "data"
+    with ShardWriter(d, x.shape[1], shard_size=shard_size,
+                     row_group_size=row_group_size) as w:
+        w.write([f"W{i}" for i in range(len(x))], x)
+    return ShardReader(d)
+
+
+def test_tune_full_corpus_oracle_in_global_positions(tmp_path, rng):
+    """Round-1 regression: tuning a FULL-corpus index must compute the
+    oracle over the full corpus in global positions — an oracle over a
+    smaller sample lives in sample-local positions and reads ~0 recall
+    (VERDICT.md weak #1 / ADVICE.md high)."""
+    n, d = 3000, 24
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    reader = _write_shards(tmp_path, x)
+    assert len(reader) == n
+
+    idx = IVFFlatIndex(16, mesh=build_mesh(), seg_size=32, chunk=128, seed=0)
+    idx.train(x[:800], iters=5)
+    idx.fill(x)  # positions 0..n-1, exactly reader order
+
+    # corpus (3000) is larger than any sample a tuner might draw; tune
+    # against the reader so the oracle streams all rows globally
+    params = tune_index(idx, reader, n_queries=24, k=5, target_recall=0.9,
+                        nprobes=(1, 16), timing_reps=1)
+    pts = params["operating_points"]
+    # exact scan + full probe: recall must be ~1.0 in a consistent space
+    assert pts[-1]["recall"] > 0.999, pts
+    assert pts[0]["recall"] <= pts[-1]["recall"] + 1e-9
+
+
+def test_exact_ground_truth_stream_matches_array_oracle(tmp_path, rng):
+    from abstracts_search_tpu.index.tune import exact_ground_truth
+
+    n, d = 1500, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    reader = _write_shards(tmp_path, x, shard_size=512, row_group_size=128)
+    q = rng.standard_normal((7, d)).astype(np.float32)
+
+    v_arr, p_arr = exact_ground_truth(x, q, 9, chunk=128)
+    v_str, p_str = exact_ground_truth(reader, q, 9, chunk=128)
+    np.testing.assert_allclose(v_str, v_arr, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(p_str, p_arr)
