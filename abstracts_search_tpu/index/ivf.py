@@ -3,13 +3,16 @@
 BASELINE.md config 2 ("IVF-Flat, 65,536 centroids trained on a subset;
 recall@10 vs flat") — the faiss IndexIVFFlat replacement (SURVEY.md §2
 #7,#11). Train = distributed spherical k-means (index/kmeans.py);
-fill = assign + pack into segmented lists (index/lists.py); search =
+fill = assign + pack into CSR segmented lists (index/lists.py); search
+is two-phase and work-proportional like IVF-PQ (index/ivfpq.py):
 
-  1. probe: streaming top-``nprobe`` over the centroid table (same fused
-     kernel as flat search; centroids replicated on every device),
-  2. scan: each device gathers whole segments of the probed lists it
-     owns (round-robin ownership) and scores them against the queries,
-  3. merge: all-gather top-k over ICI (parallel/topk_merge.py).
+  1. probe (jit): streaming top-``nprobe`` over the centroid table
+     (same fused kernel as flat search; centroids replicated),
+  2. host: expand the probed lists through each device's CSR into a
+     ragged per-query slot table (exactly the live segments),
+  3. scan (jit, shard_map): per query, gather its probed segments and
+     score them with one [slots*SEG, D] x [D] matvec, top-k, then
+     all-gather merge over ICI (parallel/topk_merge.py).
 
 `nprobe` is the search-time knob the tune stage sweeps (SURVEY.md §2
 #8, `params.json`).
@@ -31,20 +34,25 @@ from ..ops.topk import streaming_topk
 from ..parallel.mesh import SHARD_AXIS, build_mesh
 from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
-from .lists import PackedLists, pack_lists
+from .lists import CSRLists, load_lists, pack_lists, ragged_ranges, save_lists, shard_lists
 
 NEG_INF = float("-inf")
 
 
+def _next_pow2(v: int, lo: int = 1) -> int:
+    v = max(int(v), lo)
+    return 1 << (v - 1).bit_length()
+
+
 class IVFFlatIndex:
-    """Inverted-file index with exact (f32/bf16) residual-free list scan."""
+    """Inverted-file index with exact (f32) residual-free list scan."""
 
     def __init__(
         self,
         n_lists: int,
         *,
         mesh=None,
-        seg_size: int = 512,  # bigger segments amortize per-slot overhead (RESULTS.md)
+        seg_size: int = 512,
         chunk: int = 1024,
         spherical: bool = True,
         impl: str = "auto",
@@ -61,7 +69,7 @@ class IVFFlatIndex:
         self.kmeans = KMeans(
             n_lists, mesh=self.mesh, spherical=spherical, chunk=chunk, impl=impl, seed=seed
         )
-        self.packed: PackedLists | None = None
+        self.packed: CSRLists | None = None
         self._dev_arrays = None
         self.n = 0
         self._search_cache: dict = {}
@@ -87,7 +95,7 @@ class IVFFlatIndex:
         return self.kmeans.stats
 
     def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
-        """Assign + pack all vectors into device-sharded lists."""
+        """Assign + pack all vectors into the CSR lists."""
         if not self.is_trained:
             raise RuntimeError("train() before fill()")
         if self.packed is not None:
@@ -103,19 +111,21 @@ class IVFFlatIndex:
             positions = np.arange(len(vectors), dtype=np.int64)
         _, assign = self.kmeans.assign(vectors)
         packed = pack_lists(
-            vectors, positions, assign, self.n_lists,
-            ndev=self.ndev, seg_size=self.seg_size,
+            vectors, positions, assign, self.n_lists, seg_size=self.seg_size
         )
         self._install(packed)
 
-    def _install(self, packed: PackedLists) -> None:
+    def _install(self, packed: CSRLists) -> None:
         self.packed = packed
         self.n = packed.n_rows
-        data, row_ids, seg_valid, list_segs = packed.stacked()
+        shards = shard_lists(packed, self.ndev)
         shard = NamedSharding(self.mesh, P(SHARD_AXIS))
         self._dev_arrays = tuple(
-            jax.device_put(a, shard) for a in (data, row_ids, seg_valid, list_segs)
+            jax.device_put(a, shard)
+            for a in (shards.data, shards.row_ids, shards.seg_valid)
         )
+        self._seg_start_h = shards.seg_start.astype(np.int64)
+        self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
         self._centroids_dev = jax.device_put(
             self._padded_centroids(), NamedSharding(self.mesh, P())
         )
@@ -129,55 +139,83 @@ class IVFFlatIndex:
 
     # -- search -------------------------------------------------------------------
 
-    def _build_search(self, qn: int, k: int, nprobe: int):
-        seg, M, K = self.seg_size, self.packed.max_segs, self.n_lists
-        chunk, impl = self.chunk, self.impl
+    def _build_probe(self, qn: int, nprobe: int):
+        chunk, impl, K = self.chunk, self.impl, self.n_lists
 
-        def local(q, c, data, row_ids, seg_valid, list_segs):
-            data, row_ids = data[0], row_ids[0]
-            seg_valid, list_segs = seg_valid[0], list_segs[0]
-
-            # 1) probe (replicated computation; centroids replicated);
-            # bf16 matmul keeps the centroid chunk blocks inside VMEM
+        def probe(q, c):
             _, probes = streaming_topk(
                 q.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
                 jnp.int32(K), nprobe, chunk=chunk, impl=impl,
-            )  # [Q, P]
+            )
+            return probes
 
+        return jax.jit(probe)
+
+    def _build_slots(self, probes: np.ndarray, nprobe: int):
+        """Per-device ragged slot tables (see IVFPQIndex._build_slots;
+        IVF-Flat only needs seg_ids + the per-query slot table)."""
+        qn = probes.shape[0]
+        ndev = self._seg_cnt_h.shape[0]
+        pl_flat = probes.reshape(-1).astype(np.int64)
+
+        per_dev, maxcnts = [], []
+        for d in range(ndev):
+            cnt = self._seg_cnt_h[d][pl_flat]
+            seg_ids, _ = ragged_ranges(self._seg_start_h[d][pl_flat], cnt)
+            percnt = cnt.reshape(qn, nprobe).sum(axis=1)
+            per_dev.append((seg_ids, percnt))
+            maxcnts.append(int(percnt.max()) if qn else 0)
+
+        maxcnt = _next_pow2(max(maxcnts), lo=1)
+        bucket = _next_pow2(max(len(s) for s, _ in per_dev), lo=8)
+        seg_out = np.zeros((ndev, bucket), np.int32)
+        soq = np.full((ndev, qn, maxcnt), -1, np.int32)
+        ar = np.arange(maxcnt, dtype=np.int64)
+        for d, (seg_ids, percnt) in enumerate(per_dev):
+            seg_out[d, : len(seg_ids)] = seg_ids
+            qoff = np.concatenate([[0], np.cumsum(percnt)])[:-1]
+            mask = ar[None, :] < percnt[:, None]
+            soq[d] = np.where(mask, qoff[:, None] + ar[None, :], -1).astype(np.int32)
+        return seg_out, soq, bucket, maxcnt
+
+    def _build_scan(self, qn: int, k: int, bucket: int, maxcnt: int):
+        seg = self.seg_size
+
+        def local(q, data, row_ids, seg_valid, seg_ids, slots_of_q):
+            data, row_ids, seg_valid = data[0], row_ids[0], seg_valid[0]
+            seg_ids, slots_of_q = seg_ids[0], slots_of_q[0]
             row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
 
-            # 2) scan owned segments of probed lists, one query at a time
+            # per query: gather its probed segments, one matvec, top-k.
+            # lax.map keeps the [maxcnt, SEG, D] gather transient — the
+            # whole batch's tiles would not fit HBM at production dims.
             def per_query(args):
-                qv, pl = args                       # [D], [P]
-                segs = jnp.take(list_segs, pl, axis=0).reshape(-1)   # [P*M]
-                owned = segs >= 0
-                segc = jnp.where(owned, segs, 0)
-                rows = segc[:, None] * seg + row_iota                # [P*M, seg]
-                vecs = jnp.take(data, rows.reshape(-1), axis=0)      # [P*M*seg, D]
-                scores = jnp.dot(
-                    vecs, qv, preferred_element_type=jnp.float32
-                ).reshape(-1, seg)                                   # [P*M, seg]
-                live = owned[:, None] & (row_iota < jnp.take(seg_valid, segc)[:, None])
+                qv, soq = args                              # [D], [maxcnt]
+                livec = soq >= 0
+                segs_q = jnp.take(seg_ids, jnp.clip(soq, 0, None))   # [maxcnt]
+                tiles = jnp.take(data, segs_q, axis=0)      # [maxcnt, SEG, D]
+                scores = jnp.einsum("msd,d->ms", tiles, qv,
+                                    preferred_element_type=jnp.float32)
+                live = livec[:, None] & (
+                    row_iota < jnp.take(seg_valid, segs_q)[:, None]
+                )
                 flat = jnp.where(live, scores, NEG_INF).reshape(-1)
-                if flat.shape[0] < k:  # candidate pool smaller than k
-                    flat = jnp.pad(flat, (0, k - flat.shape[0]), constant_values=NEG_INF)
+                rows = (segs_q[:, None] * seg + row_iota).reshape(-1)
+                if flat.shape[0] < k:
+                    flat = jnp.pad(flat, (0, k - flat.shape[0]),
+                                   constant_values=NEG_INF)
+                    rows = jnp.pad(rows, (0, k - rows.shape[0]))
                 v, idx = lax.top_k(flat, k)
-                row_lookup = rows.reshape(-1)
-                if row_lookup.shape[0] < k:
-                    row_lookup = jnp.pad(row_lookup, (0, k - row_lookup.shape[0]))
-                pos = jnp.take(row_ids, row_lookup[idx])
+                pos = jnp.take(row_ids.reshape(-1), rows[idx])
                 pos = jnp.where(v > NEG_INF, pos, -1)
                 return v, pos
 
-            v, pos = lax.map(per_query, (q, probes))
-
-            # 3) global merge
+            v, pos = lax.map(per_query, (q, slots_of_q))
             return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
 
         fn = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(P(), P()) + (P(SHARD_AXIS),) * 4,
+            local, mesh=self.mesh,
+            in_specs=(P(),) + (P(SHARD_AXIS),) * 5,
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -191,11 +229,21 @@ class IVFFlatIndex:
         if self.spherical:
             q = _normalize_rows(q)
         nprobe = min(nprobe, self.n_lists)
-        key = (q.shape[0], k, nprobe)
-        if key not in self._search_cache:
-            self._search_cache[key] = self._build_search(*key)
-        v, pos = self._search_cache[key](
-            jnp.asarray(q), self._centroids_dev, *self._dev_arrays
+        qn = q.shape[0]
+
+        pkey = ("probe", qn, nprobe)
+        if pkey not in self._search_cache:
+            self._search_cache[pkey] = self._build_probe(qn, nprobe)
+        probes = np.asarray(self._search_cache[pkey](jnp.asarray(q), self._centroids_dev))
+
+        seg_ids, soq, bucket, maxcnt = self._build_slots(probes, nprobe)
+        skey = ("scan", qn, k, bucket, maxcnt)
+        if skey not in self._search_cache:
+            self._search_cache[skey] = self._build_scan(qn, k, bucket, maxcnt)
+        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
+        v, pos = self._search_cache[skey](
+            jnp.asarray(q), *self._dev_arrays,
+            jax.device_put(seg_ids, shard), jax.device_put(soq, shard),
         )
         return np.asarray(v), np.asarray(pos, np.int64)
 
@@ -216,16 +264,12 @@ class IVFFlatIndex:
         }
         (d / "meta.json").write_text(json.dumps(meta, indent=2))
         if self.packed is not None:
-            data, row_ids, seg_valid, list_segs = self.packed.stacked()
-            np.savez_compressed(
-                d / "lists.npz",
-                data=data, row_ids=row_ids, seg_valid=seg_valid, list_segs=list_segs,
-                seg_size=self.seg_size, n_rows=self.packed.n_rows,
-                max_segs=self.packed.max_segs,
-            )
+            save_lists(self.packed, d / "lists")
 
     @classmethod
     def load(cls, directory: str | Path, *, mesh=None, **kw) -> "IVFFlatIndex":
+        """Reopen on ANY mesh size (CSR artifacts are device-count-
+        independent; sharding is applied at install time)."""
         d = Path(directory)
         meta = json.loads((d / "meta.json").read_text())
         idx = cls(
@@ -234,25 +278,7 @@ class IVFFlatIndex:
         )
         idx.kmeans.centroids = np.load(d / "centroids.npy")
         idx.kmeans.stats = meta.get("kmeans_stats", {})
-        lists_file = d / "lists.npz"
-        if lists_file.exists():
-            z = np.load(lists_file)
-            from .lists import DeviceLists
-
-            ndev_saved = z["data"].shape[0]
-            if ndev_saved != idx.ndev:
-                raise ValueError(
-                    f"saved for {ndev_saved} devices, mesh has {idx.ndev}; refill needed"
-                )
-            per_dev = [
-                DeviceLists(z["data"][i], z["row_ids"][i], z["seg_valid"][i], z["list_segs"][i])
-                for i in range(ndev_saved)
-            ]
-            idx._install(
-                PackedLists(
-                    per_device=per_dev, seg_size=int(z["seg_size"]),
-                    n_lists=meta["n_lists"], n_rows=int(z["n_rows"]),
-                    max_segs=int(z["max_segs"]),
-                )
-            )
+        lists_dir = d / "lists"
+        if lists_dir.is_dir():
+            idx._install(load_lists(lists_dir, mmap=False))
         return idx

@@ -7,18 +7,31 @@ faiss "OPQ{M},IVF{K},PQ{M}" recipe rebuilt TPU-first:
 - OPQ rotation trained on the sample (index/opq.py),
 - coarse spherical k-means on rotated vectors (index/kmeans.py),
 - PQ codebooks trained on *residuals* (x_rot - centroid[assign]),
-- fill: rotate, assign, PQ-encode residuals, pack codes into the
-  segmented mesh-sharded lists (index/lists.py) at M bytes/vector,
+- fill: rotate, assign, PQ-encode residuals, pack codes into CSR
+  segmented lists (index/lists.py) at M bytes/vector,
 - search (ADC, inner product): because score = q . (c_list + decode(r)),
   the per-list term q . c_list is EXACTLY the probe score already
   computed by the centroid top-k, and the residual term is a lookup-
-  table sum over one shared LUT [M, ksub] per query. So: probe with the
-  fused streaming top-k, build LUTs with one einsum on the MXU, scan
-  code segments adding bias + LUT sums, all-gather merge.
+  table sum over one shared LUT [M, ksub] per query.
+
+Search is TWO-PHASE and work-proportional (faiss scans exactly the rows
+of each probed list — SURVEY.md §2 #11; the round-1 padded
+[n_lists, max_segs] table paid nprobe x max_segs slots per query):
+
+  1. probe (jit): rotate queries, streaming top-nprobe over centroids,
+     exact f32 bias q . c_list, residual LUTs — one MXU einsum each.
+  2. host: expand probed lists through the CSR (seg_start/seg_cnt) into
+     a flat slot list — exactly sum(seg_cnt[probed]) live slots, padded
+     only to the batch's power-of-two bucket.
+  3. scan (jit, shard_map): Pallas ADC over the slot list (per-slot
+     scalar-prefetched segment + LUT ids), per-slot top-k, ragged
+     per-query merge via a slot table, all-gather top-k over ICI.
 
 Memory: M=64, nbits=8 at 1024 dims = 64 B/vector + 4 B position =
 ~14 GB for the 207M corpus across a mesh — the released-index budget
-class (SURVEY.md §6).
+class (SURVEY.md §6). With storage="host" the packed lists stay in a
+disk-backed memmap (the `ondisk.ivfdata` analog, reference Makefile:11)
+and only probed segments are gathered per batch.
 """
 
 from __future__ import annotations
@@ -37,11 +50,16 @@ from ..ops.topk import streaming_topk
 from ..parallel.mesh import SHARD_AXIS, build_mesh
 from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
-from .lists import PackedLists, pack_lists
+from .lists import CSRLists, load_lists, pack_lists, ragged_ranges, save_lists, shard_lists
 from .opq import OPQ
 from .pq import ProductQuantizer
 
 NEG_INF = float("-inf")
+
+
+def _next_pow2(v: int, lo: int = 1) -> int:
+    v = max(int(v), lo)
+    return 1 << (v - 1).bit_length()
 
 
 class IVFPQIndex:
@@ -54,7 +72,9 @@ class IVFPQIndex:
         pq_nbits: int = 8,
         use_opq: bool = True,
         mesh=None,
-        seg_size: int = 512,  # bigger segments amortize per-slot overhead (RESULTS.md)
+        seg_size: int = 512,  # bigger segments amortize per-slot overhead but
+        # pad every list tail to SEG rows the scan must touch; 512 balances
+        # the two at 65,536 lists (benchmarks/RESULTS.md)
         chunk: int = 1024,
         spherical: bool = True,
         impl: str = "auto",
@@ -69,14 +89,16 @@ class IVFPQIndex:
         self.chunk = chunk
         self.spherical = spherical
         self.impl = impl
-        # scan_impl: "map" (per-query XLA gather scan), "slots" (the
-        # Pallas ADC kernel over (query, segment) slots), "auto"
+        # scan_impl selects the ADC op inside the (always work-
+        # proportional) slot scan: "slots" = Pallas kernel (interpret
+        # mode off-TPU), "map"/"xla" = XLA gather reference, "auto" =
+        # pallas on TPU else xla.
         self.scan_impl = scan_impl
         # storage: "device" = packed lists live in HBM across the mesh;
-        # "host" = lists stay in host RAM and probed segments are
-        # gathered per batch — the OnDiskInvertedLists analog
-        # (reference `ondisk.ivfdata`, Makefile:11; SURVEY.md §5) for
-        # corpora whose codes exceed aggregate HBM.
+        # "host" = lists stay in a host (mem-mapped) CSR and probed
+        # segments are gathered per batch — the OnDiskInvertedLists
+        # analog (reference `ondisk.ivfdata`, Makefile:11; SURVEY.md §5)
+        # for corpora whose codes exceed aggregate HBM.
         self.storage = storage
         self.seed = seed
         self.use_opq = use_opq
@@ -93,7 +115,7 @@ class IVFPQIndex:
         self.opq = OPQ(dim, pq_m, pq_nbits, mesh=self.mesh, seed=seed) if use_opq else None
         self.rotation = np.eye(dim, dtype=np.float32)
 
-        self.packed: PackedLists | None = None
+        self.packed: CSRLists | None = None
         self._dev_arrays = None
         self.n = 0
         self.train_stats: dict = {}
@@ -232,29 +254,31 @@ class IVFPQIndex:
             np.concatenate(pos_parts),
             np.concatenate(assign_parts),
             self.n_lists,
-            # host-resident lists are one logical shard in host RAM
-            ndev=self.ndev if self.storage == "device" else 1,
             seg_size=self.seg_size,
         )
         self._install(packed)
 
-    def _install(self, packed: PackedLists) -> None:
+    def _install(self, packed: CSRLists) -> None:
         self.packed = packed
         self.n = packed.n_rows
         repl = NamedSharding(self.mesh, P())
         if self.storage == "device":
-            stacked = packed.stacked()
+            shards = shard_lists(packed, self.ndev)
             shard = NamedSharding(self.mesh, P(SHARD_AXIS))
-            self._dev_arrays = tuple(jax.device_put(a, shard) for a in stacked)
+            self._dev_arrays = tuple(
+                jax.device_put(a, shard)
+                for a in (shards.data, shards.row_ids, shards.seg_valid)
+            )
+            # host-side CSR per device, for the per-batch slot build
+            self._seg_start_h = shards.seg_start.astype(np.int64)  # [ndev, L]
+            self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
         else:
-            # host mode: lists stay as numpy; the search gathers probed
-            # segments per batch and ships only those to the device
-            dl = packed.per_device[0]
-            self._host_codes3 = dl.data.reshape(-1, self.seg_size, self.pq.m)
-            self._host_row_ids = dl.row_ids
-            self._host_seg_valid = dl.seg_valid
-            self._host_list_segs = dl.list_segs
+            # host mode: the canonical CSR stays host-side (data/row_ids
+            # may be memmaps); the search gathers probed segments per
+            # batch and ships only those to the device
             self._dev_arrays = ()
+            self._seg_start_h = packed.seg_start[None].astype(np.int64)  # [1, L]
+            self._seg_cnt_h = packed.seg_cnt[None].astype(np.int64)
         self._centroids_dev = jax.device_put(self._padded_centroids(), repl)
         self._pq_cent_dev = jax.device_put(self.pq.centroids, repl)
         self._rot_dev = jax.device_put(self.rotation, repl)
@@ -266,152 +290,14 @@ class IVFPQIndex:
         c[: self.n_lists] = self.kmeans.centroids
         return c
 
-    # -- search -------------------------------------------------------------------
+    # -- search: phase 1 (probe) ---------------------------------------------------
 
-    def _build_search(self, qn: int, k: int, nprobe: int):
-        scan = self.scan_impl
-        if scan == "auto":
-            scan = "slots" if jax.default_backend() == "tpu" else "map"
-        if scan == "map":
-            return self._build_search_map(qn, k, nprobe)
-        return self._build_search_slots(qn, k, nprobe)
-
-    def _build_search_slots(self, qn: int, k: int, nprobe: int):
-        """Slot-based scan: one Pallas ADC call over all (query, probed
-        segment) pairs of the batch (ops/adc.py), then one fused XLA
-        bias+mask+top-k. This is the TPU production path."""
-        seg, msegs, K = self.seg_size, self.packed.max_segs, self.n_lists
-        chunk, impl = self.chunk, self.impl
-        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
-
-        from ..ops.adc import adc_scan_pallas
-
-        def local(q, rot, c, pqc, data, row_ids, seg_valid, list_segs):
-            data, row_ids = data[0], row_ids[0]
-            seg_valid, list_segs = seg_valid[0], list_segs[0]
-            n_segs = seg_valid.shape[0]
-            codes3 = data.reshape(n_segs, seg, m_pq)
-
-            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
-            # probe SELECTION in bf16 (VMEM/bandwidth), then recompute the
-            # exact f32 q.c_list bias for just the chosen lists — the bias
-            # feeds the ADC scores, so it must not carry bf16 rounding
-            _, probes = streaming_topk(
-                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
-                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
-            )  # [Q, P]
-            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
-            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
-                              preferred_element_type=jnp.float32)
-            luts = jnp.einsum(
-                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
-                preferred_element_type=jnp.float32,
-            )
-
-            segs = jnp.take(list_segs, probes, axis=0)        # [Q, P, msegs]
-            seg_flat = segs.reshape(-1)                       # [n_slots]
-            owned = seg_flat >= 0
-            segc = jnp.where(owned, seg_flat, 0)
-            q_ids = jnp.repeat(
-                jnp.arange(qn, dtype=jnp.int32), nprobe * msegs
-            )
-
-            scores = adc_scan_pallas(codes3, luts, segc, q_ids)   # [n_slots, SEG]
-            slot_bias = jnp.repeat(bias.reshape(-1), msegs)[:, None]
-            scores = scores + slot_bias
-
-            row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
-            live = owned[:, None] & (row_iota < jnp.take(seg_valid, segc)[:, None])
-            flat = jnp.where(live, scores, NEG_INF).reshape(qn, -1)
-            rows = (segc[:, None] * seg + row_iota).reshape(qn, -1)
-            if flat.shape[1] < k:
-                flat = jnp.pad(flat, ((0, 0), (0, k - flat.shape[1])),
-                               constant_values=NEG_INF)
-                rows = jnp.pad(rows, ((0, 0), (0, k - rows.shape[1])))
-            v, idx = lax.top_k(flat, k)
-            pos = jnp.take(row_ids, jnp.take_along_axis(rows, idx, axis=1))
-            pos = jnp.where(v > NEG_INF, pos, -1)
-            return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
-
-        fn = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(P(), P(), P(), P()) + (P(SHARD_AXIS),) * 4,
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(fn)
-
-    def _build_search_map(self, qn: int, k: int, nprobe: int):
-        seg, msegs, K = self.seg_size, self.packed.max_segs, self.n_lists
-        chunk, impl = self.chunk, self.impl
-        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
-
-        def local(q, rot, c, pqc, data, row_ids, seg_valid, list_segs):
-            data, row_ids = data[0], row_ids[0]
-            seg_valid, list_segs = seg_valid[0], list_segs[0]
-
-            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
-
-            # 1) probe in bf16, then exact f32 bias for the chosen lists
-            _, probes = streaming_topk(
-                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
-                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
-            )  # [Q, P]
-            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
-            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
-                              preferred_element_type=jnp.float32)
-
-            # 2) shared residual LUTs: [Q, M, ksub] in one MXU einsum
-            luts = jnp.einsum(
-                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
-                preferred_element_type=jnp.float32,
-            )
-
-            row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
-            code_offsets = (jnp.arange(m_pq, dtype=jnp.int32) * ksub)[None, :]
-
-            def per_query(args):
-                qb, pl, lut = args            # [P] bias, [P] probes, [M, ksub]
-                segs = jnp.take(list_segs, pl, axis=0)          # [P, msegs]
-                owned = segs >= 0
-                segc = jnp.where(owned, segs, 0)
-                rows = segc.reshape(-1)[:, None] * seg + row_iota   # [P*msegs, seg]
-                flat_rows = rows.reshape(-1)
-                codes = jnp.take(data, flat_rows, axis=0).astype(jnp.int32)  # [R, M]
-                adc = jnp.take(lut.reshape(-1), codes + code_offsets)        # [R, M]
-                scores = jnp.sum(adc, axis=-1).reshape(-1, seg)              # [P*msegs, seg]
-                scores = scores + jnp.repeat(qb, msegs)[:, None]             # + q.c_list
-
-                live = owned.reshape(-1)[:, None] & (
-                    row_iota < jnp.take(seg_valid, segc.reshape(-1))[:, None]
-                )
-                flat = jnp.where(live, scores, NEG_INF).reshape(-1)
-                if flat.shape[0] < k:
-                    flat = jnp.pad(flat, (0, k - flat.shape[0]), constant_values=NEG_INF)
-                v, idx = lax.top_k(flat, k)
-                lookup = flat_rows
-                if lookup.shape[0] < k:
-                    lookup = jnp.pad(lookup, (0, k - lookup.shape[0]))
-                pos = jnp.take(row_ids, lookup[idx])
-                pos = jnp.where(v > NEG_INF, pos, -1)
-                return v, pos
-
-            v, pos = lax.map(per_query, (bias, probes, luts))
-            return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
-
-        fn = shard_map(
-            local,
-            mesh=self.mesh,
-            in_specs=(P(), P(), P(), P()) + (P(SHARD_AXIS),) * 4,
-            out_specs=(P(), P()),
-            check_vma=False,
-        )
-        return jax.jit(fn)
-
-    # -- host-resident-lists search (the ondisk.ivfdata analog) -------------------
-
-    def _build_host_probe(self, qn: int, nprobe: int):
+    def _build_probe(self, qn: int, nprobe: int):
+        """jit: queries -> (probes [Q,P] i32, bias [Q,P] f32, LUTs
+        [Q,M,ksub] f32). Probe SELECTION runs in bf16 (VMEM/bandwidth);
+        the exact f32 q . c_list bias is recomputed for just the chosen
+        lists — it feeds the ADC scores, so it must not carry bf16
+        rounding."""
         chunk, impl, K = self.chunk, self.impl, self.n_lists
         m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
 
@@ -432,61 +318,133 @@ class IVFPQIndex:
 
         return jax.jit(probe)
 
-    def _build_host_rank(self, qn: int, k: int, slots_per_q: int):
+    # -- search: phase 2 (host slot build) -------------------------------------------
+
+    def _build_slots(self, probes: np.ndarray, nprobe: int):
+        """Expand probed lists through each device's CSR into flat slot
+        lists — exactly the live segments, padded to a power-of-two
+        bucket shared across devices (SPMD needs equal shapes).
+
+        Returns (seg_ids, q_ids, slot_pair [ndev, bucket] i32,
+        slots_of_q [ndev, Q, maxcnt] i32 with -1 padding).
+        """
+        qn = probes.shape[0]
+        ndev = self._seg_cnt_h.shape[0]
+        pl_flat = probes.reshape(-1).astype(np.int64)          # [Q*P]
+
+        per_dev = []
+        totals, maxcnts = [], []
+        for d in range(ndev):
+            cnt = self._seg_cnt_h[d][pl_flat]                  # [Q*P]
+            seg_ids, pair = ragged_ranges(self._seg_start_h[d][pl_flat], cnt)
+            percnt = cnt.reshape(qn, nprobe).sum(axis=1)       # [Q]
+            per_dev.append((seg_ids, pair, percnt))
+            totals.append(len(seg_ids))
+            maxcnts.append(int(percnt.max()) if qn else 0)
+
+        bucket = _next_pow2(max(totals), lo=8)
+        maxcnt = _next_pow2(max(maxcnts), lo=1)
+
+        seg_out = np.zeros((ndev, bucket), np.int32)
+        q_out = np.full((ndev, bucket), qn - 1, np.int32)
+        pair_out = np.full((ndev, bucket), -1, np.int32)
+        soq = np.full((ndev, qn, maxcnt), -1, np.int32)
+        ar = np.arange(maxcnt, dtype=np.int64)
+        for d, (seg_ids, pair, percnt) in enumerate(per_dev):
+            t = len(seg_ids)
+            seg_out[d, :t] = seg_ids
+            pair_out[d, :t] = pair
+            q_out[d, :t] = pair // nprobe
+            # slots are query-major contiguous: query i owns
+            # [qoff[i], qoff[i]+percnt[i])
+            qoff = np.concatenate([[0], np.cumsum(percnt)])[:-1]
+            mask = ar[None, :] < percnt[:, None]
+            soq[d] = np.where(mask, qoff[:, None] + ar[None, :], -1).astype(np.int32)
+        return seg_out, q_out, pair_out, soq, bucket, maxcnt
+
+    # -- search: phase 3 (scan) --------------------------------------------------------
+
+    def _adc_fn(self):
+        from ..ops.adc import adc_scan_pallas, adc_scan_xla
+
+        scan = self.scan_impl
+        if scan == "auto":
+            scan = "slots" if jax.default_backend() == "tpu" else "map"
+        if scan in ("map", "xla"):
+            return adc_scan_xla
+        return adc_scan_pallas
+
+    def _scan_body(self, qn: int, k: int, nprobe: int, adc):
+        """Shared slot-scan body: per-slot ADC -> per-slot top-k ->
+        ragged per-query merge -> positions. Used by both storage modes
+        (device mode indexes segments by id; host mode pre-gathers
+        tiles so seg_ids double as tile indices)."""
         seg = self.seg_size
 
-        from ..ops.adc import adc_scan_pallas
+        def body(bias, luts, codes3, row_ids, seg_valid,
+                 seg_ids, q_ids, slot_pair, slots_of_q):
+            scores = adc(codes3, luts, seg_ids, q_ids)          # [bucket, SEG]
+            sb = jnp.take(bias.reshape(-1), jnp.clip(slot_pair, 0, None))
+            scores = scores + sb[:, None]
+            row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+            live = (slot_pair >= 0)[:, None] & (
+                row_iota < jnp.take(seg_valid, seg_ids)[:, None]
+            )
+            scores = jnp.where(live, scores, NEG_INF)
 
-        def rank(codes3, luts, slot_bias, live):
-            n_slots = qn * slots_per_q
-            seg_ids = jnp.arange(n_slots, dtype=jnp.int32)  # gathered tiles, in order
-            scores = adc_scan_pallas(codes3, luts, seg_ids)
-            scores = scores + slot_bias[:, None]
-            flat = jnp.where(live, scores, NEG_INF).reshape(qn, -1)
-            if flat.shape[1] < k:
-                flat = jnp.pad(flat, ((0, 0), (0, k - flat.shape[1])),
-                               constant_values=NEG_INF)
-            return lax.top_k(flat, k)
+            kp = min(k, seg)
+            sv, si = lax.top_k(scores, kp)                      # [bucket, kp]
+            srows = seg_ids[:, None] * seg + si                 # flat row index
+
+            sq = jnp.clip(slots_of_q, 0, None).reshape(-1)      # [Q*maxcnt]
+            qv = jnp.take(sv, sq, axis=0).reshape(qn, -1)       # [Q, maxcnt*kp]
+            qr_ = jnp.take(srows, sq, axis=0).reshape(qn, -1)
+            qmask = jnp.repeat(slots_of_q >= 0, kp, axis=1)
+            qv = jnp.where(qmask, qv, NEG_INF)
+            if qv.shape[1] < k:
+                qv = jnp.pad(qv, ((0, 0), (0, k - qv.shape[1])),
+                             constant_values=NEG_INF)
+                qr_ = jnp.pad(qr_, ((0, 0), (0, k - qr_.shape[1])))
+            v, idx = lax.top_k(qv, k)
+            rows = jnp.take_along_axis(qr_, idx, axis=1)
+            pos = jnp.take(row_ids.reshape(-1), rows)
+            pos = jnp.where(v > NEG_INF, pos, -1)
+            return v, pos
+
+        return body
+
+    def _build_scan(self, qn: int, k: int, nprobe: int, bucket: int, maxcnt: int):
+        """Device mode: SPMD scan over the mesh-sharded lists."""
+        body = self._scan_body(qn, k, nprobe, self._adc_fn())
+
+        def local(bias, luts, data, row_ids, seg_valid,
+                  seg_ids, q_ids, slot_pair, slots_of_q):
+            v, pos = body(
+                bias, luts, data[0], row_ids[0], seg_valid[0],
+                seg_ids[0], q_ids[0], slot_pair[0], slots_of_q[0],
+            )
+            return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P()) + (P(SHARD_AXIS),) * 7,
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_rank_host(self, qn: int, k: int, nprobe: int, bucket: int, maxcnt: int):
+        """Host mode: tiles were gathered host-side in slot order, so
+        seg_ids = iota and row_ids are per-tile."""
+        body = self._scan_body(qn, k, nprobe, self._adc_fn())
+
+        def rank(bias, luts, codes3, row_ids, seg_valid,
+                 q_ids, slot_pair, slots_of_q):
+            seg_ids = jnp.arange(bucket, dtype=jnp.int32)
+            return body(bias, luts, codes3, row_ids, seg_valid,
+                        seg_ids, q_ids, slot_pair, slots_of_q)
 
         return jax.jit(rank)
-
-    def _search_host(self, q: np.ndarray, k: int, nprobe: int):
-        qn = q.shape[0]
-        msegs = self.packed.max_segs
-        key = ("hp", qn, nprobe)
-        if key not in self._search_cache:
-            self._search_cache[key] = self._build_host_probe(qn, nprobe)
-        probes, bias, luts = self._search_cache[key](
-            jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev
-        )
-        probes = np.asarray(probes)
-
-        # host gather of exactly the probed segments
-        segs = self._host_list_segs[probes]                      # [Q, P, msegs]
-        seg_flat = segs.reshape(-1)
-        owned = seg_flat >= 0
-        segc = np.where(owned, seg_flat, 0)
-        codes3 = self._host_codes3[segc]                         # [n_slots, SEG, M]
-        row_iota = np.arange(self.seg_size, dtype=np.int32)[None, :]
-        live = owned[:, None] & (row_iota < self._host_seg_valid[segc][:, None])
-        slot_bias = np.repeat(np.asarray(bias).reshape(-1), msegs)
-
-        key2 = ("hr", qn, k, nprobe * msegs)
-        if key2 not in self._search_cache:
-            self._search_cache[key2] = self._build_host_rank(qn, k, nprobe * msegs)
-        v, idx = self._search_cache[key2](
-            jnp.asarray(codes3), luts, jnp.asarray(slot_bias), jnp.asarray(live)
-        )
-        v, idx = np.asarray(v), np.asarray(idx)
-
-        # map flat (slot, row) candidates back to corpus positions
-        rows = (segc[:, None] * self.seg_size + row_iota).reshape(qn, -1)
-        if rows.shape[1] < k:
-            rows = np.pad(rows, ((0, 0), (0, k - rows.shape[1])))
-        chosen = np.take_along_axis(rows, idx, axis=1)
-        pos = self._host_row_ids[chosen].astype(np.int64)
-        pos[v == NEG_INF] = -1
-        return v, pos
 
     def search(self, queries: np.ndarray, k: int, *, nprobe: int = 8):
         if self.packed is None:
@@ -495,14 +453,68 @@ class IVFPQIndex:
         if self.spherical:
             q = _normalize_rows(q)
         nprobe = min(nprobe, self.n_lists)
+        qn = q.shape[0]
+
+        pkey = ("probe", qn, nprobe)
+        if pkey not in self._search_cache:
+            self._search_cache[pkey] = self._build_probe(qn, nprobe)
+        probes, bias, luts = self._search_cache[pkey](
+            jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev
+        )
+        probes_h = np.asarray(probes)
+
+        seg_ids, q_ids, slot_pair, soq, bucket, maxcnt = self._build_slots(
+            probes_h, nprobe
+        )
+        # scan-work accounting (work-proportionality is THE property of
+        # this layout — benchmarks and tests read it back)
+        self.last_scan_stats = {
+            "bucket": int(bucket),
+            "live_slots": int((slot_pair >= 0).sum()),
+            "maxcnt": int(maxcnt),
+            "rows_scanned": int(bucket * seg_ids.shape[0] * self.seg_size),
+        }
+
         if self.storage == "host":
-            return self._search_host(q, k, nprobe)
-        key = (q.shape[0], k, nprobe)
-        if key not in self._search_cache:
-            self._search_cache[key] = self._build_search(*key)
-        v, pos = self._search_cache[key](
-            jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev,
-            *self._dev_arrays,
+            return self._finish_host(
+                bias, luts, seg_ids, q_ids, slot_pair, soq,
+                qn, k, nprobe, bucket, maxcnt,
+            )
+
+        skey = ("scan", qn, k, nprobe, bucket, maxcnt)
+        if skey not in self._search_cache:
+            self._search_cache[skey] = self._build_scan(qn, k, nprobe, bucket, maxcnt)
+        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
+        v, pos = self._search_cache[skey](
+            bias, luts, *self._dev_arrays,
+            jax.device_put(seg_ids, shard), jax.device_put(q_ids, shard),
+            jax.device_put(slot_pair, shard), jax.device_put(soq, shard),
+        )
+        return np.asarray(v), np.asarray(pos, np.int64)
+
+    def _finish_host(self, bias, luts, seg_ids, q_ids, slot_pair, soq,
+                     qn, k, nprobe, bucket, maxcnt):
+        """Gather exactly the probed segments from the host CSR (a
+        memmap read when loaded with storage='host') and rank on device."""
+        sidx = seg_ids[0]
+        codes3 = np.zeros((bucket, self.seg_size, self.pq.m), self.packed.data.dtype)
+        row_ids = np.full((bucket, self.seg_size), -1, np.int32)
+        seg_valid = np.zeros(bucket, np.int32)
+        live = slot_pair[0] >= 0
+        lidx = sidx[live]
+        codes3[live] = self.packed.data[lidx]
+        row_ids[live] = self.packed.row_ids[lidx]
+        seg_valid[live] = self.packed.seg_valid[lidx]
+
+        rkey = ("rank", qn, k, nprobe, bucket, maxcnt)
+        if rkey not in self._search_cache:
+            self._search_cache[rkey] = self._build_rank_host(
+                qn, k, nprobe, bucket, maxcnt
+            )
+        v, pos = self._search_cache[rkey](
+            bias, luts, jnp.asarray(codes3), jnp.asarray(row_ids),
+            jnp.asarray(seg_valid), jnp.asarray(q_ids[0]),
+            jnp.asarray(slot_pair[0]), jnp.asarray(soq[0]),
         )
         return np.asarray(v), np.asarray(pos, np.int64)
 
@@ -528,16 +540,14 @@ class IVFPQIndex:
         }
         (d / "meta.json").write_text(json.dumps(meta, indent=2))
         if include_lists and self.packed is not None:
-            data, row_ids, seg_valid, list_segs = self.packed.stacked()
-            np.savez_compressed(
-                d / "lists.npz",
-                data=data, row_ids=row_ids, seg_valid=seg_valid, list_segs=list_segs,
-                seg_size=self.seg_size, n_rows=self.packed.n_rows,
-                max_segs=self.packed.max_segs,
-            )
+            save_lists(self.packed, d / "lists")
 
     @classmethod
     def load(cls, directory: str | Path, *, mesh=None, **kw) -> "IVFPQIndex":
+        """Reopen artifacts on ANY mesh size: the canonical CSR layout
+        is device-count-independent and sharding (list id % ndev) is
+        applied at install time. storage='host' serves straight from
+        the memmap without loading the corpus."""
         d = Path(directory)
         meta = json.loads((d / "meta.json").read_text())
         idx = cls(
@@ -552,29 +562,9 @@ class IVFPQIndex:
             idx.opq.rotation = idx.rotation
             idx.opq.pq.centroids = idx.pq.centroids
         idx.train_stats = meta.get("train_stats", {})
-        lists_file = d / "lists.npz"
-        if lists_file.exists():
-            z = np.load(lists_file)
-            from .lists import DeviceLists
-
-            ndev_saved = z["data"].shape[0]
-            want = idx.ndev if idx.storage == "device" else 1
-            if ndev_saved != want:
-                raise ValueError(
-                    f"saved for {ndev_saved} shards, need {want} "
-                    f"({idx.storage} storage); refill needed"
-                )
-            per_dev = [
-                DeviceLists(z["data"][i], z["row_ids"][i], z["seg_valid"][i], z["list_segs"][i])
-                for i in range(ndev_saved)
-            ]
-            idx._install(
-                PackedLists(
-                    per_device=per_dev, seg_size=int(z["seg_size"]),
-                    n_lists=meta["n_lists"], n_rows=int(z["n_rows"]),
-                    max_segs=int(z["max_segs"]),
-                )
-            )
+        lists_dir = d / "lists"
+        if lists_dir.is_dir():
+            idx._install(load_lists(lists_dir, mmap=True))
         return idx
 
 

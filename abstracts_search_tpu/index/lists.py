@@ -1,70 +1,96 @@
-"""Packed inverted-list storage, sharded across the device mesh.
+"""Packed inverted-list storage — CSR segments, device-count-independent.
 
-The TPU-native replacement for faiss `OnDiskInvertedLists` +
-in-RAM list arrays (SURVEY.md §2 #9,#11; reference artifacts
-`index.faiss`/`ondisk.ivfdata`, Makefile:11): variable-length IVF lists
-are the classic static-shape enemy on XLA, so each list is split into
-fixed-size *segments* (SEG rows, zero-padded tail). Per device:
+The TPU-native replacement for faiss `OnDiskInvertedLists` + in-RAM list
+arrays (SURVEY.md §2 #9,#11; reference artifacts `index.faiss` /
+`ondisk.ivfdata`, Makefile:11). Variable-length IVF lists are the
+classic static-shape enemy on XLA, so each list is split into fixed-size
+*segments* (SEG rows, zero-padded tail), stored **list-contiguous** in a
+canonical layout that knows nothing about device counts:
 
-- ``data``      [n_segs * SEG, payload]  — row payloads (f32 vectors for
-                 IVF-Flat, uint8 PQ codes for IVF-PQ), segment-contiguous
-- ``row_ids``   [n_segs * SEG] int32     — global corpus positions
-                 (-1 for padding rows; the `ids.parquet` mapping lives
-                 above this, SURVEY.md §1 L3)
-- ``seg_valid`` [n_segs] int32           — live rows per segment
-- ``list_segs`` [n_lists, max_segs] int32 — device-local segment ids of
-                 each list (-1 padded; rows for lists owned by other
-                 devices are all -1)
+- ``data``      [n_segs, SEG, *payload] — row payloads (uint8 PQ codes
+                 for IVF-PQ, f32 vectors for IVF-Flat); may be an
+                 ``np.memmap`` (the on-disk story: probed segments are
+                 read through the page cache, the corpus never loads)
+- ``row_ids``   [n_segs, SEG] int32     — global corpus positions
+                 (-1 padding; `ids.parquet` maps them to OpenAlex IDs)
+- ``seg_valid`` [n_segs] int32          — live rows per segment
+- ``seg_start`` [n_lists] int64, ``seg_cnt`` [n_lists] int32 — CSR:
+                 list ``l`` owns segments [seg_start[l],
+                 seg_start[l]+seg_cnt[l]), contiguous.
 
-Lists are assigned to devices round-robin (list_id % ndev) so hot lists
-spread across the mesh. All per-device arrays are padded to identical
-shapes — a probe+scan is then one SPMD program with static shapes,
-and probing gathers whole segments (aligned tiles, DMA-friendly).
+The CSR shape is what makes the scan *work-proportional*: a probe
+expands to exactly ``seg_cnt[probed_lists]`` slots — no padding to the
+longest list on the device (the round-1 `[n_lists, max_segs]` table
+paid `nprobe x max_segs` slots per query, so one zipfian-hot list taxed
+every query; VERDICT.md round 1, missing #1).
+
+Device sharding is a pure function of list id (``l % ndev``) applied at
+install/load time (`shard_lists`), so one artifact reopens on any mesh
+size — unlike round 1's per-ndev stacked arrays.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import json
+from pathlib import Path
 
 import numpy as np
 
 
+def ragged_ranges(starts: np.ndarray, counts: np.ndarray):
+    """Vectorized concatenation of the ranges [starts[i], starts[i]+counts[i]).
+
+    Returns (values [sum(counts)], source [sum(counts)]) where
+    ``source[j]`` is the range index i that produced ``values[j]``.
+    """
+    counts = np.asarray(counts, np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    ends = np.cumsum(counts)
+    offs = ends - counts
+    source = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    within = np.arange(total, dtype=np.int64) - offs[source]
+    return np.asarray(starts, np.int64)[source] + within, source
+
+
 @dataclasses.dataclass
-class DeviceLists:
-    data: np.ndarray       # [n_segs*SEG, payload...]
-    row_ids: np.ndarray    # [n_segs*SEG] int32
+class CSRLists:
+    """Canonical packed lists (see module docstring)."""
+
+    data: np.ndarray       # [n_segs, SEG, *payload]; may be np.memmap
+    row_ids: np.ndarray    # [n_segs, SEG] int32; may be np.memmap
     seg_valid: np.ndarray  # [n_segs] int32
-    list_segs: np.ndarray  # [n_lists, max_segs] int32
-
-
-@dataclasses.dataclass
-class PackedLists:
-    """Per-device packed lists, equal shapes, ready to device_put."""
-
-    per_device: list[DeviceLists]
+    seg_start: np.ndarray  # [n_lists] int64
+    seg_cnt: np.ndarray    # [n_lists] int32
     seg_size: int
     n_lists: int
     n_rows: int
-    max_segs: int
 
     @property
-    def ndev(self) -> int:
-        return len(self.per_device)
-
-    def stacked(self):
-        """Stack per-device arrays on a leading device axis (for sharding)."""
-        return (
-            np.stack([d.data for d in self.per_device]),
-            np.stack([d.row_ids for d in self.per_device]),
-            np.stack([d.seg_valid for d in self.per_device]),
-            np.stack([d.list_segs for d in self.per_device]),
-        )
+    def n_segs(self) -> int:
+        return self.data.shape[0]
 
     def memory_bytes(self) -> int:
-        return sum(
-            d.data.nbytes + d.row_ids.nbytes + d.seg_valid.nbytes + d.list_segs.nbytes
-            for d in self.per_device
-        )
+        return (self.data.nbytes + self.row_ids.nbytes + self.seg_valid.nbytes
+                + self.seg_start.nbytes + self.seg_cnt.nbytes)
+
+
+@dataclasses.dataclass
+class DeviceShards:
+    """Per-device views of a CSRLists, equal shapes, ready to device_put.
+
+    ``seg_start``/``seg_cnt`` are indexed by GLOBAL list id; unowned
+    lists have cnt 0 (their start is meaningless). Device-local segment
+    ids index the leading axis of that device's ``data`` slice.
+    """
+
+    data: np.ndarray       # [ndev, n_segs_pad, SEG, *payload]
+    row_ids: np.ndarray    # [ndev, n_segs_pad, SEG] int32
+    seg_valid: np.ndarray  # [ndev, n_segs_pad] int32
+    seg_start: np.ndarray  # [ndev, n_lists] int32 (device-local)
+    seg_cnt: np.ndarray    # [ndev, n_lists] int32
 
 
 def pack_lists(
@@ -73,60 +99,170 @@ def pack_lists(
     assignments: np.ndarray,
     n_lists: int,
     *,
-    ndev: int,
-    seg_size: int = 128,
-) -> PackedLists:
-    """Bucket rows by IVF list into the per-device packed layout.
+    seg_size: int = 512,
+    data_out: np.ndarray | None = None,
+    row_ids_out: np.ndarray | None = None,
+) -> CSRLists:
+    """Bucket rows by IVF list into the canonical CSR layout. Fully
+    vectorized (the round-1 per-list Python loop was an O(n_lists)
+    scale ceiling, VERDICT.md missing #3).
 
-    payloads: [N, ...] row payloads; positions: [N] global corpus ids;
-    assignments: [N] list id per row.
+    payloads: [N, ...]; positions: [N] global corpus ids;
+    assignments: [N] list id per row. ``data_out``/``row_ids_out``
+    optionally supply preallocated (e.g. memmap) destination arrays of
+    shape [n_segs, SEG, ...] — ``plan_pack`` computes n_segs.
     """
     n = len(payloads)
     assert len(positions) == n and len(assignments) == n
+    assignments = np.asarray(assignments, np.int64)
 
-    # rows of each list, in insertion order
-    order = np.argsort(assignments, kind="stable")
-    sorted_lists = assignments[order]
-    boundaries = np.searchsorted(sorted_lists, np.arange(n_lists + 1))
-
-    # device -> (list_id, row_indices) in list order
-    dev_rows: list[list[tuple[int, np.ndarray]]] = [[] for _ in range(ndev)]
-    segs_per_list = np.zeros(n_lists, np.int64)
-    for l in range(n_lists):
-        rows = order[boundaries[l] : boundaries[l + 1]]
-        segs_per_list[l] = -(-len(rows) // seg_size) if len(rows) else 0
-        dev_rows[l % ndev].append((l, rows))
-
-    max_segs = int(segs_per_list.max()) if n_lists else 0
-    n_segs_dev = [
-        int(sum(segs_per_list[l] for l, _ in rows)) for rows in dev_rows
-    ]
-    n_segs_pad = max(max(n_segs_dev), 1) if n_segs_dev else 1
+    counts = np.bincount(assignments, minlength=n_lists).astype(np.int64)
+    seg_cnt = -(-counts // seg_size)
+    seg_start = np.concatenate([[0], np.cumsum(seg_cnt)])[:-1]
+    n_segs = max(int(seg_cnt.sum()), 1)  # keep >=1 dead segment: scans clamp to 0
 
     payload_shape = payloads.shape[1:]
-    out = []
+    if data_out is None:
+        data_out = np.zeros((n_segs, seg_size) + payload_shape, payloads.dtype)
+    if row_ids_out is None:
+        row_ids_out = np.full((n_segs, seg_size), -1, np.int32)
+
+    if n:
+        order = np.argsort(assignments, kind="stable")
+        row_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        sorted_lists = assignments[order]
+        row_in_list = np.arange(n, dtype=np.int64) - row_start[sorted_lists]
+        # segments of a list are contiguous, so the flat destination is
+        # simply seg_start[l]*SEG + rank-within-list
+        dest = seg_start[sorted_lists] * seg_size + row_in_list
+        data_out.reshape((-1,) + payload_shape)[dest] = payloads[order]
+        row_ids_out.reshape(-1)[dest] = np.asarray(positions, np.int64)[order]
+
+    seg_valid = _seg_valid(counts, seg_cnt, seg_start, n_segs, seg_size)
+    return CSRLists(
+        data=data_out, row_ids=row_ids_out, seg_valid=seg_valid,
+        seg_start=seg_start.astype(np.int64), seg_cnt=seg_cnt.astype(np.int32),
+        seg_size=seg_size, n_lists=n_lists, n_rows=n,
+    )
+
+
+def _seg_valid(counts, seg_cnt, seg_start, n_segs, seg_size) -> np.ndarray:
+    seg_valid = np.zeros(n_segs, np.int32)
+    total = int(seg_cnt.sum())
+    if total:
+        seg_list = np.repeat(np.arange(len(counts), dtype=np.int64), seg_cnt)
+        seg_idx = np.arange(total, dtype=np.int64) - seg_start[seg_list]
+        seg_valid[:total] = np.clip(
+            counts[seg_list] - seg_idx * seg_size, 0, seg_size
+        ).astype(np.int32)
+    return seg_valid
+
+
+def shard_lists(csr: CSRLists, ndev: int) -> DeviceShards:
+    """Shard the canonical lists over ``ndev`` devices (list id % ndev).
+
+    A pure function of (csr, ndev): the same artifact reopens on any
+    mesh size. Hot lists spread round-robin; per-device arrays are
+    padded to the max per-device segment count.
+    """
+    n_lists = csr.n_lists
+    per_data, per_rows, per_valid = [], [], []
+    seg_start_d = np.zeros((ndev, n_lists), np.int32)
+    seg_cnt_d = np.zeros((ndev, n_lists), np.int32)
+
+    gathered = []
     for d in range(ndev):
-        data = np.zeros((n_segs_pad * seg_size,) + payload_shape, payloads.dtype)
-        row_ids = np.full(n_segs_pad * seg_size, -1, np.int32)
-        seg_valid = np.zeros(n_segs_pad, np.int32)
-        list_segs = np.full((n_lists, max(max_segs, 1)), -1, np.int32)
+        owned = np.arange(d, n_lists, ndev, dtype=np.int64)
+        seg_ids, src = ragged_ranges(csr.seg_start[owned], csr.seg_cnt[owned])
+        # device-local segment ids: contiguous in owned-list order
+        cnts = csr.seg_cnt[owned].astype(np.int64)
+        local_start = np.concatenate([[0], np.cumsum(cnts)])[:-1]
+        seg_start_d[d, owned] = local_start.astype(np.int32)
+        seg_cnt_d[d, owned] = cnts.astype(np.int32)
+        gathered.append(seg_ids)
 
-        seg = 0
-        for l, rows in dev_rows[d]:
-            for s in range(int(segs_per_list[l])):
-                chunk = rows[s * seg_size : (s + 1) * seg_size]
-                lo = seg * seg_size
-                data[lo : lo + len(chunk)] = payloads[chunk]
-                row_ids[lo : lo + len(chunk)] = positions[chunk]
-                seg_valid[seg] = len(chunk)
-                list_segs[l, s] = seg
-                seg += 1
-        out.append(DeviceLists(data, row_ids, seg_valid, list_segs))
+    n_segs_pad = max(max((len(g) for g in gathered), default=0), 1)
+    payload_shape = csr.data.shape[2:]
+    for g in gathered:
+        data = np.zeros((n_segs_pad, csr.seg_size) + payload_shape, csr.data.dtype)
+        rows = np.full((n_segs_pad, csr.seg_size), -1, np.int32)
+        valid = np.zeros(n_segs_pad, np.int32)
+        if len(g):
+            data[: len(g)] = csr.data[g]
+            rows[: len(g)] = csr.row_ids[g]
+            valid[: len(g)] = csr.seg_valid[g]
+        per_data.append(data)
+        per_rows.append(rows)
+        per_valid.append(valid)
 
-    return PackedLists(
-        per_device=out,
-        seg_size=seg_size,
-        n_lists=n_lists,
-        n_rows=n,
-        max_segs=max(max_segs, 1),
+    return DeviceShards(
+        data=np.stack(per_data),
+        row_ids=np.stack(per_rows),
+        seg_valid=np.stack(per_valid),
+        seg_start=seg_start_d,
+        seg_cnt=seg_cnt_d,
+    )
+
+
+# -- on-disk format (the ondisk.ivfdata analog) -----------------------------------
+
+_META = "lists_meta.json"
+
+
+def save_lists(csr: CSRLists, directory: str | Path) -> None:
+    """Persist as raw memmap-able binaries + small npy/json sidecars.
+
+    Raw (not compressed) so `load_lists(mmap=True)` serves straight from
+    the page cache — the reference's `OnDiskInvertedLists` property that
+    lets a 16 GB machine hold a 207M-vector index
+    (/root/reference/README.md:33, Makefile:11).
+    """
+    d = Path(directory)
+    d.mkdir(parents=True, exist_ok=True)
+    _tofile_chunked(csr.data, d / "codes.bin")
+    _tofile_chunked(np.ascontiguousarray(csr.row_ids, np.int32), d / "row_ids.bin")
+    np.save(d / "seg_valid.npy", csr.seg_valid)
+    np.save(d / "seg_start.npy", csr.seg_start)
+    np.save(d / "seg_cnt.npy", csr.seg_cnt)
+    (d / _META).write_text(json.dumps({
+        "format": 2,
+        "n_segs": int(csr.n_segs),
+        "seg_size": int(csr.seg_size),
+        "n_lists": int(csr.n_lists),
+        "n_rows": int(csr.n_rows),
+        "payload_shape": list(csr.data.shape[2:]),
+        "payload_dtype": str(csr.data.dtype),
+    }))
+
+
+def _tofile_chunked(arr: np.ndarray, path: Path, chunk_rows: int = 1 << 14) -> None:
+    """Write without materializing a full contiguous copy (arr may be a
+    memmap several times larger than RAM)."""
+    with open(path, "wb") as f:
+        for lo in range(0, arr.shape[0], chunk_rows):
+            np.ascontiguousarray(arr[lo : lo + chunk_rows]).tofile(f)
+
+
+def load_lists(directory: str | Path, *, mmap: bool = True) -> CSRLists:
+    d = Path(directory)
+    meta = json.loads((d / _META).read_text())
+    n_segs, seg = meta["n_segs"], meta["seg_size"]
+    pshape = tuple(meta["payload_shape"])
+    pdtype = np.dtype(meta["payload_dtype"])
+    mode = "r" if mmap else None
+    if mmap:
+        data = np.memmap(d / "codes.bin", dtype=pdtype, mode=mode,
+                         shape=(n_segs, seg) + pshape)
+        row_ids = np.memmap(d / "row_ids.bin", dtype=np.int32, mode=mode,
+                            shape=(n_segs, seg))
+    else:
+        data = np.fromfile(d / "codes.bin", dtype=pdtype).reshape(
+            (n_segs, seg) + pshape)
+        row_ids = np.fromfile(d / "row_ids.bin", dtype=np.int32).reshape(n_segs, seg)
+    return CSRLists(
+        data=data, row_ids=row_ids,
+        seg_valid=np.load(d / "seg_valid.npy"),
+        seg_start=np.load(d / "seg_start.npy"),
+        seg_cnt=np.load(d / "seg_cnt.npy"),
+        seg_size=seg, n_lists=meta["n_lists"], n_rows=meta["n_rows"],
     )

@@ -40,8 +40,8 @@ def _mchunk(m: int, ksub: int) -> int:
     return max(1, min(m, 4096 // ksub))
 
 
-def _adc_kernel(seg_ids, codes_ref, lut_ref, out_ref, *, seg, m, ksub):
-    del seg_ids  # consumed by the index_maps
+def _adc_kernel(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *, seg, m, ksub):
+    del seg_ids, q_ids  # consumed by the index_maps
     codes = codes_ref[0].astype(jnp.int32)          # [SEG, M]
     mc = _mchunk(m, ksub)
     n_ch = m // mc
@@ -62,28 +62,26 @@ def _adc_kernel(seg_ids, codes_ref, lut_ref, out_ref, *, seg, m, ksub):
     out_ref[0, 0, :] = acc[:, 0]
 
 
-def adc_scan_pallas(codes3, luts, seg_ids, q_ids=None, *, slots_per_query=None,
-                    interpret=None):
+def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None):
     """Per-slot ADC scores.
 
     codes3:  [n_segs, SEG, M] uint8 packed list payloads
     luts:    [Q, M, ksub] f32 per-query LUTs
-    seg_ids: [n_slots] int32 segment per slot (pre-clamped to valid range);
-             n_slots must equal Q * slots_per_query, slots of one query
-             contiguous — the grid is (Q, slots_per_query) so each
-             query's LUT is DMA'd ONCE and stays resident in VMEM for
-             all of that query's segments.
-    q_ids:   ignored (kept for interface parity with adc_scan_xla)
+    seg_ids: [n_slots] int32 segment per slot (pre-clamped to valid range)
+    q_ids:   [n_slots] int32 LUT (query) per slot. Keep slots of one
+             query CONTIGUOUS: pallas skips the LUT re-DMA whenever the
+             block index repeats between consecutive grid steps, so a
+             query-major slot order fetches each LUT once, not per slot.
+             The slot list may be ragged per query (work-proportional
+             scan) — dead padding slots should reuse the last live
+             query id for the same reason.
     returns: [n_slots, SEG] f32 raw ADC sums
     """
     n_segs, seg, m = codes3.shape
     q, m2, ksub = luts.shape
     assert m == m2
     n_slots = seg_ids.shape[0]
-    if slots_per_query is None:
-        assert n_slots % q == 0
-        slots_per_query = n_slots // q
-    assert q * slots_per_query == n_slots
+    assert q_ids.shape == (n_slots,)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -98,20 +96,17 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids=None, *, slots_per_query=None,
         .reshape(q, n_ch, ksub * mc)
     )
 
-    spq = slots_per_query
     kernel = functools.partial(_adc_kernel, seg=seg, m=m, ksub=ksub)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(q, spq),
+        num_scalar_prefetch=2,
+        grid=(n_slots,),
         in_specs=[
             pl.BlockSpec(
-                (1, seg, m), lambda i, j, sids: (sids[i * spq + j], 0, 0),
+                (1, seg, m), lambda i, sids, qids: (sids[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            # constant block index across the j axis -> pallas skips the
-            # re-DMA; one 64 KB LUT fetch per query, not per slot
             pl.BlockSpec(
-                (1, n_ch, ksub * mc), lambda i, j, sids: (i, 0, 0),
+                (1, n_ch, ksub * mc), lambda i, sids, qids: (qids[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
@@ -119,7 +114,7 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids=None, *, slots_per_query=None,
         # Mosaic requires the last two block dims divide (8, 128) or
         # equal the array dims
         out_specs=pl.BlockSpec(
-            (1, 1, seg), lambda i, j, sids: (i * spq + j, 0, 0),
+            (1, 1, seg), lambda i, sids, qids: (i, 0, 0),
             memory_space=pltpu.VMEM,
         ),
     )
@@ -133,7 +128,7 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids=None, *, slots_per_query=None,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(seg_ids.astype(jnp.int32), codes3, luts_vm)
+    )(seg_ids.astype(jnp.int32), q_ids.astype(jnp.int32), codes3, luts_vm)
     return out.reshape(n_slots, seg)
 
 

@@ -66,7 +66,7 @@ def main() -> None:
     )
     t_fill = time.time() - t0
     print(f"fill: {t_fill:.0f}s ({N/t_fill/1e3:.0f} kvec/s) "
-          f"payload {sum(d.data.nbytes for d in idx.packed.per_device)/2**20:.0f} MiB", flush=True)
+          f"payload {idx.packed.data.nbytes/2**20:.0f} MiB", flush=True)
 
     print(f"{'nprobe':>7} {'recall@10':>10} {'1-recall@10':>12} {'ms/batch':>9} {'QPS/chip':>9}")
     for nprobe in (8, 16, 32, 64, 128):

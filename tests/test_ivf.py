@@ -8,7 +8,13 @@ import numpy as np
 
 from abstracts_search_tpu.index import FlatIndex
 from abstracts_search_tpu.index.ivf import IVFFlatIndex
-from abstracts_search_tpu.index.lists import pack_lists
+from abstracts_search_tpu.index.lists import (
+    load_lists,
+    pack_lists,
+    ragged_ranges,
+    save_lists,
+    shard_lists,
+)
 from abstracts_search_tpu.parallel import build_mesh
 
 
@@ -17,34 +23,89 @@ def _normed(rng, n, d):
     return x / np.linalg.norm(x, axis=1, keepdims=True)
 
 
-def test_pack_lists_roundtrip(rng):
-    n, d, n_lists, ndev, seg = 500, 8, 16, 4, 32
+def test_ragged_ranges(rng):
+    starts = np.array([10, 0, 7])
+    counts = np.array([3, 0, 2])
+    vals, src = ragged_ranges(starts, counts)
+    np.testing.assert_array_equal(vals, [10, 11, 12, 7, 8])
+    np.testing.assert_array_equal(src, [0, 0, 0, 2, 2])
+
+
+def test_pack_lists_csr_roundtrip(rng):
+    n, d, n_lists, seg = 500, 8, 16, 32
     payloads = rng.standard_normal((n, d)).astype(np.float32)
     positions = np.arange(n, dtype=np.int64)
     assign = rng.integers(0, n_lists, n)
 
-    packed = pack_lists(payloads, positions, assign, n_lists, ndev=ndev, seg_size=seg)
-    assert packed.n_rows == n
+    csr = pack_lists(payloads, positions, assign, n_lists, seg_size=seg)
+    assert csr.n_rows == n
 
-    # every row is present exactly once, in its list, on the right device
+    # every row present exactly once, in its list, CSR segments contiguous
     seen = {}
-    for dev, dl in enumerate(packed.per_device):
-        for l in range(n_lists):
-            for s in dl.list_segs[l]:
-                if s < 0:
+    for l in range(n_lists):
+        for s in range(csr.seg_start[l], csr.seg_start[l] + csr.seg_cnt[l]):
+            cnt = csr.seg_valid[s]
+            for r in range(cnt):
+                pos = csr.row_ids[s, r]
+                assert pos not in seen
+                seen[pos] = l
+                np.testing.assert_array_equal(csr.data[s, r], payloads[pos])
+                assert assign[pos] == l
+            assert (csr.row_ids[s, cnt:] == -1).all()
+    assert len(seen) == n
+
+    # work-proportional invariant: total segments == sum(ceil(list/seg)),
+    # NOT n_lists * max_segs
+    counts = np.bincount(assign, minlength=n_lists)
+    assert csr.n_segs == (-(-counts // seg)).sum()
+
+
+def test_shard_lists_all_ndev_consistent(rng):
+    """Sharding is a pure function of (csr, ndev): every row lands on
+    device list_id % ndev exactly once, for ANY ndev (mesh portability,
+    VERDICT.md round-1 weak #7)."""
+    n, n_lists, seg = 700, 12, 16
+    payloads = rng.integers(0, 255, (n, 4)).astype(np.uint8)
+    positions = np.arange(n, dtype=np.int64)
+    assign = rng.integers(0, n_lists, n)
+    csr = pack_lists(payloads, positions, assign, n_lists, seg_size=seg)
+
+    for ndev in (1, 2, 3, 8):
+        sh = shard_lists(csr, ndev)
+        assert sh.data.shape[0] == ndev
+        seen = set()
+        for dev in range(ndev):
+            for l in range(n_lists):
+                cnt = sh.seg_cnt[dev, l]
+                if cnt == 0:
                     continue
                 assert l % ndev == dev
-                lo = s * seg
-                cnt = dl.seg_valid[s]
-                for r in range(cnt):
-                    pos = dl.row_ids[lo + r]
-                    assert pos not in seen
-                    seen[pos] = (dev, l)
-                    np.testing.assert_array_equal(dl.data[lo + r], payloads[pos])
-                    assert assign[pos] == l
-                # padding rows are marked
-                assert (dl.row_ids[lo + cnt : lo + seg] == -1).all()
-    assert len(seen) == n
+                s0 = sh.seg_start[dev, l]
+                for s in range(s0, s0 + cnt):
+                    valid = sh.seg_valid[dev, s]
+                    rows = sh.row_ids[dev, s, :valid]
+                    assert not (set(rows.tolist()) & seen)
+                    seen.update(rows.tolist())
+                    np.testing.assert_array_equal(
+                        sh.data[dev, s, :valid], payloads[rows]
+                    )
+        assert len(seen) == n, ndev
+
+
+def test_lists_save_load_memmap(tmp_path, rng):
+    n, n_lists, seg = 300, 8, 16
+    payloads = rng.integers(0, 255, (n, 4)).astype(np.uint8)
+    csr = pack_lists(payloads, np.arange(n), rng.integers(0, n_lists, n),
+                     n_lists, seg_size=seg)
+    save_lists(csr, tmp_path / "lists")
+    back = load_lists(tmp_path / "lists", mmap=True)
+    assert isinstance(back.data, np.memmap)
+    np.testing.assert_array_equal(np.asarray(back.data), csr.data)
+    np.testing.assert_array_equal(np.asarray(back.row_ids), csr.row_ids)
+    np.testing.assert_array_equal(back.seg_valid, csr.seg_valid)
+    np.testing.assert_array_equal(back.seg_start, csr.seg_start)
+    np.testing.assert_array_equal(back.seg_cnt, csr.seg_cnt)
+    assert back.n_rows == n and back.seg_size == seg
 
 
 def test_ivf_recall_vs_flat(rng):

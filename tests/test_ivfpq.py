@@ -142,8 +142,10 @@ def test_ivfpq_memory_budget(rng):
                      mesh=build_mesh(), seg_size=128, chunk=128)
     idx.train(x[:2000], kmeans_iters=4, pq_iters=4)
     idx.fill(x)
-    data_bytes = sum(dl.data.nbytes for dl in idx.packed.per_device)
     # padding overhead bounded: < 3x ideal at this tiny scale, and
     # payload dtype is uint8 (1 byte/code)
-    assert idx.packed.per_device[0].data.dtype == np.uint8
-    assert data_bytes < 3 * n * m
+    assert idx.packed.data.dtype == np.uint8
+    assert idx.packed.data.nbytes < 3 * n * m
+    # CSR metadata is O(n_lists), not O(n_lists * max_segs)
+    assert idx.packed.seg_start.shape == (8,)
+    assert idx.packed.seg_cnt.shape == (8,)
