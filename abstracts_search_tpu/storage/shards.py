@@ -175,24 +175,40 @@ class ShardReader:
             embs_all.append(embs)
         return (ids_all if with_ids else None), np.concatenate(embs_all, axis=0)
 
-    def sample(self, n: int, *, seed: int = 0) -> np.ndarray:
+    def sample(self, n: int, *, seed: int = 0, out: np.ndarray | None = None
+               ) -> np.ndarray:
         """Uniformly sample ~n rows for training subsets (SURVEY.md §7 step 6:
-        the reference trains on a ~10M-vector subset of the corpus)."""
+        the reference trains on a ~10M-vector subset of the corpus).
+
+        ``out``: optional preallocated [n, dim] destination (e.g. an
+        np.memmap) — the sample streams row-group-by-row-group into it,
+        so a 10M x 1024 production sample (~40 GB) never concatenates in
+        host RAM (VERDICT.md round-1 missing #4).
+        """
         total = len(self)
-        if n >= total:
+        if out is None and n >= total:
             return self.read_all(with_ids=False)[1]
+        n = min(n, total)
         rate = n / total
         rng = np.random.default_rng(seed)
-        out = []
+        parts = [] if out is None else None
         got = 0
         for _, embs in self.iter_row_groups(with_ids=False):
             k = min(int(round(len(embs) * rate)) + 1, len(embs), n - got)
             if k <= 0:
                 break
             idx = rng.choice(len(embs), size=k, replace=False)
-            out.append(embs[np.sort(idx)])
+            rows = embs[np.sort(idx)]
+            if out is None:
+                parts.append(rows)
+            else:
+                out[got : got + k] = rows
             got += k
-        return np.concatenate(out, axis=0)[:n]
+        if out is not None:
+            if got < n:
+                raise RuntimeError(f"sampled {got} rows, expected {n}")
+            return out
+        return np.concatenate(parts, axis=0)[:n]
 
 
 def dump_store_to_shards(

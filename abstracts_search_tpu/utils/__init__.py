@@ -7,6 +7,7 @@ every driver target plus opt-in JAX device profiling
 kernels in any stage).
 """
 
+from .prefetch import prefetch_iterator
 from .trace import StageTimer, profile_scope, timed
 
-__all__ = ["StageTimer", "profile_scope", "timed"]
+__all__ = ["StageTimer", "prefetch_iterator", "profile_scope", "timed"]

@@ -32,7 +32,7 @@ def test_cli_index_train_tune_fill_clean(data_dir):
 
     assert main(["index", "-B", "idx", "fill", "data"]) == 0
     assert (data_dir / "idx" / "ids.parquet").exists()
-    assert (data_dir / "idx" / "index" / "lists.npz").exists()
+    assert (data_dir / "idx" / "index" / "lists" / "codes.bin").exists()
 
     assert main(["index", "-B", "idx", "tune", "--k", "5",
                  "--target-recall", "0.8", "data"]) == 0

@@ -44,3 +44,47 @@ def test_refill_refused(rng):
     idx.fill(x)
     with pytest.raises(RuntimeError, match="already filled"):
         idx.fill(x)
+
+
+def test_fill_stream_spill_path_matches_inram(tmp_path, rng):
+    """lists_dir fill (spill + external pack into the memmap artifact)
+    must equal the in-RAM pack, and the artifact must be complete on
+    disk (no later save needed)."""
+    n, d = 1500, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    mesh = build_mesh()
+    pos = np.arange(n, dtype=np.int64)
+
+    a = IVFPQIndex(8, d, pq_m=4, pq_nbits=4, use_opq=False,
+                   mesh=mesh, seg_size=32, chunk=128, seed=0)
+    a.train(x, kmeans_iters=4, pq_iters=4)
+    a.fill(x)
+
+    b = IVFPQIndex(8, d, pq_m=4, pq_nbits=4, use_opq=False,
+                   mesh=mesh, seg_size=32, chunk=128, seed=0)
+    b.train(x, kmeans_iters=4, pq_iters=4)
+    b.fill_stream(
+        ((x[lo:lo + 400], pos[lo:lo + 400]) for lo in range(0, n, 400)),
+        lists_dir=tmp_path / "idx" / "lists",
+    )
+    assert isinstance(b.packed.data, np.memmap)
+    # no spill dirs left behind
+    assert not list((tmp_path / "idx").glob("astpu_fill_*"))
+
+    q = x[:6]
+    va, pa = a.search(q, 5, nprobe=8)
+    vb, pb = b.search(q, 5, nprobe=8)
+    np.testing.assert_allclose(va, vb, atol=1e-5)
+    np.testing.assert_array_equal(pa, pb)
+
+    # the artifact on disk is already complete: save skips the rewrite
+    # and load returns identical results
+    import os
+    before = os.path.getmtime(tmp_path / "idx" / "lists" / "codes.bin")
+    b.save(tmp_path / "idx")
+    assert os.path.getmtime(tmp_path / "idx" / "lists" / "codes.bin") == before
+    c = IVFPQIndex.load(tmp_path / "idx", mesh=mesh, chunk=128)
+    vc, pc = c.search(q, 5, nprobe=8)
+    np.testing.assert_allclose(va, vc, atol=1e-5)
+    np.testing.assert_array_equal(pa, pc)

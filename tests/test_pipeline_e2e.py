@@ -80,7 +80,7 @@ def test_full_pipeline_and_incremental_sync(pipeline):
     # artifact parity with the reference layout (Makefile:11-13)
     assert (d.empty_dir / "meta.json").exists()          # empty.faiss analog
     assert d.untuned_path.exists()                       # untuned.json
-    assert (d.filled_dir / "lists.npz").exists()         # index.faiss+ivfdata
+    assert (d.filled_dir / "lists" / "codes.bin").exists()  # index.faiss+ivfdata
     assert d.ids_path.exists()                           # ids.parquet
     assert d.params_path.exists()                        # params.json
     ids = read_ids_parquet(d.ids_path)
