@@ -202,6 +202,18 @@ def cmd_publish(args, cfg):
     print(f"hf upload {args.faiss_repo} {idx_root.parent} --repo-type dataset")
 
 
+def cmd_convert_model(args, cfg):
+    """torch HF checkpoint -> orbax (one-time; serving then never
+    imports torch — reference model pin at README.md:28,60)."""
+    from .models.registry import convert_and_save
+
+    if args.model:
+        cfg = cfg.replace(model_name=args.model)
+    convert_and_save(cfg, args.ckpt_dir)
+    print(f"converted {cfg.model_name} -> {args.ckpt_dir}")
+    print(f"serve with ASTPU_CKPT={args.ckpt_dir} (torch no longer needed)")
+
+
 def cmd_search(args, cfg):
     from .serve.engine import SearchEngine
 
@@ -288,6 +300,12 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--embeddings-repo", default="you/abstracts-embeddings")
     sp.add_argument("--faiss-repo", default="you/abstracts-faiss")
     sp.set_defaults(fn=cmd_publish)
+
+    sp = sub.add_parser("convert-model",
+                        help="torch HF checkpoint -> orbax (serve without torch)")
+    sp.add_argument("ckpt_dir")
+    sp.add_argument("--model", help="HF model name/dir (default: configured model)")
+    sp.set_defaults(fn=cmd_convert_model)
 
     sp = sub.add_parser("search", help="one-shot query against the index")
     sp.add_argument("query")

@@ -53,6 +53,9 @@ class Config:
     trust_remote_code: bool = True
     embed_batch: int = DEFAULT_EMBED_BATCH
     embed_dim: int = DEFAULT_EMBED_DIM
+    # orbax checkpoint dir written by `astpu convert-model`; when set,
+    # serving/build restore flax weights directly (no torch at runtime)
+    ckpt_dir: str = ""
 
     # Shard layout
     shard_size: int = DEFAULT_SHARD_SIZE
@@ -91,6 +94,7 @@ _ENV_MAP = {
     "ASTPU_EMBED_DIM": ("embed_dim", int),
     "ASTPU_TRAIN_SAMPLE": ("train_sample", int),
     "ASTPU_TUNE_SAMPLE": ("tune_sample", int),
+    "ASTPU_CKPT": ("ckpt_dir", str),
     # Reference-compatible names (README.md:28,60)
     "SIDECARSEARCH_MODEL": ("model_name", str),
     "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),

@@ -46,6 +46,7 @@ class EmbeddingPipeline:
         batch_size: int = 32,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         mesh=None,
+        param_shardings=None,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -57,10 +58,15 @@ class EmbeddingPipeline:
         if mesh is not None:
             data_sharding = NamedSharding(mesh, P(SHARD_AXIS))
             repl = NamedSharding(mesh, P())
-            self.params = jax.device_put(params, jax.tree.map(lambda _: repl, params))
+            # weights: TP shardings when the caller restored them that
+            # way (parallel/sharding.py), replicated otherwise; data is
+            # batch-sharded over `shard` either way
+            pshard = (param_shardings if param_shardings is not None
+                      else jax.tree.map(lambda _: repl, params))
+            self.params = jax.device_put(params, pshard)
             self._apply = jax.jit(
                 self.model.apply,
-                in_shardings=(repl, data_sharding, data_sharding),
+                in_shardings=(pshard, data_sharding, data_sharding),
                 out_shardings=repl,
             )
         else:

@@ -46,32 +46,139 @@ class HashEmbedder:
         return self(texts)
 
 
+ENCODER_META = "encoder_meta.json"
+
+
+def _convert_from_torch(cfg: Config):
+    """torch HF checkpoint -> (StellaConfig, flax params). Torch is only
+    imported here — the convert-time path (reference `README.md:60`
+    model load), never the serve path once a checkpoint exists."""
+    from .convert import convert_stella
+    from .qwen2 import Qwen2Config
+    from .stella import StellaConfig
+
+    from transformers import AutoModel
+
+    model = AutoModel.from_pretrained(cfg.model_name, trust_remote_code=cfg.trust_remote_code)
+    hf = model.config
+    backbone = Qwen2Config(
+        vocab_size=hf.vocab_size,
+        hidden_size=hf.hidden_size,
+        intermediate_size=hf.intermediate_size,
+        num_layers=hf.num_hidden_layers,
+        num_heads=hf.num_attention_heads,
+        num_kv_heads=hf.num_key_value_heads,
+        head_dim=getattr(hf, "head_dim", None)
+        or hf.hidden_size // hf.num_attention_heads,
+        rope_theta=hf.rope_theta,
+        rms_norm_eps=hf.rms_norm_eps,
+    )
+    sd = model.state_dict()
+    scfg = StellaConfig(backbone=backbone, mrl_dim=cfg.embed_dim)
+    # stella ships the MRL head as a sentence-transformers Dense
+    # module; when absent fall back to an identity-truncation head.
+    dense_w = sd.get("vector_linear.weight")
+    if dense_w is None:
+        dense_w = np.eye(cfg.embed_dim, scfg.backbone.hidden_size, dtype=np.float32)
+    params = {"params": convert_stella(
+        {k: v for k, v in sd.items()}, scfg.backbone.num_layers, dense_w,
+        sd.get("vector_linear.bias"),
+    )}
+    return scfg, params
+
+
+def _stella_config_to_json(scfg) -> dict:
+    import dataclasses
+
+    bb = {k: v for k, v in dataclasses.asdict(scfg.backbone).items()
+          if k not in ("dtype", "param_dtype")}
+    return {
+        "backbone": bb,
+        "mrl_dim": scfg.mrl_dim,
+        "pooling": scfg.pooling,
+        "causal": scfg.causal,
+        "normalize": scfg.normalize,
+    }
+
+
+def _stella_config_from_json(d: dict):
+    from .qwen2 import Qwen2Config
+    from .stella import StellaConfig
+
+    return StellaConfig(
+        backbone=Qwen2Config(**d["backbone"]), mrl_dim=d["mrl_dim"],
+        pooling=d["pooling"], causal=d["causal"], normalize=d["normalize"],
+    )
+
+
+def convert_and_save(cfg: Config, ckpt_dir) -> None:
+    """`astpu convert-model`: torch -> flax -> orbax checkpoint.
+
+    Reference equivalent: the serve stage pins the model load
+    (/root/reference/README.md:28); here conversion runs ONCE and
+    serving/build restores the orbax tree without importing torch
+    (VERDICT.md round-1 missing #6).
+    """
+    import json
+    from pathlib import Path
+
+    from .checkpoint import save_params
+
+    scfg, params = _convert_from_torch(cfg)
+    ckpt_dir = Path(ckpt_dir)
+    save_params(ckpt_dir / "params", params)
+    meta = _stella_config_to_json(scfg)
+    meta["model_name"] = cfg.model_name
+    (ckpt_dir / ENCODER_META).write_text(json.dumps(meta, indent=2))
+    logger.info("converted %s -> %s", cfg.model_name, ckpt_dir)
+
+
 class StellaEmbedder:
-    """Full stella pipeline (tokenize + flax forward on the mesh)."""
+    """Full stella pipeline (tokenize + flax forward on the mesh).
+
+    Weights come from the orbax checkpoint written by
+    `astpu convert-model` when ``cfg.ckpt_dir`` points at one (restored
+    with the mesh's TP shardings — torch never imports at serve time);
+    otherwise falls back to on-the-fly torch conversion."""
 
     def __init__(self, cfg: Config, mesh=None):
-        from .convert import convert_stella
+        import json
+        from pathlib import Path
+
         from .embed import EmbeddingPipeline, load_hf_tokenizer
-        from .stella import StellaConfig
 
-        import torch  # local weights only; no network
-        from transformers import AutoModel
+        param_shardings = None
+        ckpt = Path(cfg.ckpt_dir) if cfg.ckpt_dir else None
+        if ckpt is not None and (ckpt / ENCODER_META).is_file():
+            from .checkpoint import load_params
 
-        model = AutoModel.from_pretrained(cfg.model_name, trust_remote_code=cfg.trust_remote_code)
-        sd = model.state_dict()
-        scfg = StellaConfig(mrl_dim=cfg.embed_dim)
-        # stella ships the MRL head as a sentence-transformers Dense
-        # module; when absent fall back to an identity-truncation head.
-        dense_w = sd.get("vector_linear.weight")
-        if dense_w is None:
-            dense_w = np.eye(cfg.embed_dim, scfg.backbone.hidden_size, dtype=np.float32)
-        params = {"params": convert_stella(
-            {k: v for k, v in sd.items()}, scfg.backbone.num_layers, dense_w,
-            sd.get("vector_linear.bias"),
-        )}
+            meta = json.loads((ckpt / ENCODER_META).read_text())
+            scfg = _stella_config_from_json(meta)
+            if mesh is not None:
+                import jax
+
+                from ..parallel.sharding import stella_param_shardings
+
+                import orbax.checkpoint as ocp
+
+                tree = ocp.StandardCheckpointer().metadata(
+                    Path(ckpt / "params").resolve()).item_metadata
+                params = load_params(
+                    ckpt / "params",
+                    sharding=stella_param_shardings(tree, mesh),
+                )
+                # plain pytree of the placements actually restored (the
+                # metadata-derived tree is orbax-wrapped)
+                param_shardings = jax.tree.map(lambda a: a.sharding, params)
+            else:
+                params = load_params(ckpt / "params")
+            logger.info("stella weights restored from %s (no torch)", ckpt)
+        else:
+            scfg, params = _convert_from_torch(cfg)
         self.pipeline = EmbeddingPipeline(
             scfg, params, load_hf_tokenizer(cfg.model_name),
             batch_size=cfg.embed_batch, mesh=mesh,
+            param_shardings=param_shardings,
         )
         self.dim = cfg.embed_dim
 
