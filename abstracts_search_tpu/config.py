@@ -78,6 +78,9 @@ class Config:
     # Ingest
     manifest_url: str = "https://openalex.s3.amazonaws.com/data/works/manifest"
     language: str = "en"
+    # download-ahead buffer between the fetcher thread and the filter/
+    # embed pipeline (the `mbuffer -m 4G` role, reference Makefile:62)
+    ingest_buffer_bytes: int = 256 << 20
 
     def replace(self, **kw: Any) -> "Config":
         kw = {k: v for k, v in kw.items() if v is not None}
@@ -95,6 +98,7 @@ _ENV_MAP = {
     "ASTPU_TRAIN_SAMPLE": ("train_sample", int),
     "ASTPU_TUNE_SAMPLE": ("tune_sample", int),
     "ASTPU_CKPT": ("ckpt_dir", str),
+    "ASTPU_INGEST_BUFFER_BYTES": ("ingest_buffer_bytes", int),
     # Reference-compatible names (README.md:28,60)
     "SIDECARSEARCH_MODEL": ("model_name", str),
     "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),

