@@ -73,6 +73,19 @@ class IVFFlatIndex:
         self._dev_arrays = None
         self.n = 0
         self._search_cache: dict = {}
+        import threading
+
+        self._compile_lock = threading.Lock()  # single-flight compile
+
+    def _cached_fn(self, key, builder):
+        fn = self._search_cache.get(key)
+        if fn is None:
+            with self._compile_lock:
+                fn = self._search_cache.get(key)
+                if fn is None:
+                    fn = builder()
+                    self._search_cache[key] = fn
+        return fn
 
     @property
     def ndev(self) -> int:
@@ -231,17 +244,18 @@ class IVFFlatIndex:
         nprobe = min(nprobe, self.n_lists)
         qn = q.shape[0]
 
-        pkey = ("probe", qn, nprobe)
-        if pkey not in self._search_cache:
-            self._search_cache[pkey] = self._build_probe(qn, nprobe)
-        probes = np.asarray(self._search_cache[pkey](jnp.asarray(q), self._centroids_dev))
+        probe_fn = self._cached_fn(
+            ("probe", qn, nprobe), lambda: self._build_probe(qn, nprobe)
+        )
+        probes = np.asarray(probe_fn(jnp.asarray(q), self._centroids_dev))
 
         seg_ids, soq, bucket, maxcnt = self._build_slots(probes, nprobe)
-        skey = ("scan", qn, k, bucket, maxcnt)
-        if skey not in self._search_cache:
-            self._search_cache[skey] = self._build_scan(qn, k, bucket, maxcnt)
+        scan_fn = self._cached_fn(
+            ("scan", qn, k, bucket, maxcnt),
+            lambda: self._build_scan(qn, k, bucket, maxcnt),
+        )
         shard = NamedSharding(self.mesh, P(SHARD_AXIS))
-        v, pos = self._search_cache[skey](
+        v, pos = scan_fn(
             jnp.asarray(q), *self._dev_arrays,
             jax.device_put(seg_ids, shard), jax.device_put(soq, shard),
         )

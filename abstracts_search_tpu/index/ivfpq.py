@@ -128,6 +128,22 @@ class IVFPQIndex:
         self.n = 0
         self.train_stats: dict = {}
         self._search_cache: dict = {}
+        # single-flight guard: concurrent first-queries under a threaded
+        # server must not compile the same (shape) program twice or race
+        # the cache dict (VERDICT.md round-1 weak #6)
+        import threading
+
+        self._compile_lock = threading.Lock()
+
+    def _cached_fn(self, key, builder):
+        fn = self._search_cache.get(key)
+        if fn is None:
+            with self._compile_lock:
+                fn = self._search_cache.get(key)
+                if fn is None:
+                    fn = builder()
+                    self._search_cache[key] = fn
+        return fn
 
     @property
     def ndev(self) -> int:
@@ -603,10 +619,10 @@ class IVFPQIndex:
         nprobe = min(nprobe, self.n_lists)
         qn = q.shape[0]
 
-        pkey = ("probe", qn, nprobe)
-        if pkey not in self._search_cache:
-            self._search_cache[pkey] = self._build_probe(qn, nprobe)
-        probes, bias, luts = self._search_cache[pkey](
+        probe_fn = self._cached_fn(
+            ("probe", qn, nprobe), lambda: self._build_probe(qn, nprobe)
+        )
+        probes, bias, luts = probe_fn(
             jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev
         )
         probes_h = np.asarray(probes)
@@ -629,11 +645,12 @@ class IVFPQIndex:
                 qn, k, nprobe, bucket, maxcnt,
             )
 
-        skey = ("scan", qn, k, nprobe, bucket, maxcnt)
-        if skey not in self._search_cache:
-            self._search_cache[skey] = self._build_scan(qn, k, nprobe, bucket, maxcnt)
+        scan_fn = self._cached_fn(
+            ("scan", qn, k, nprobe, bucket, maxcnt),
+            lambda: self._build_scan(qn, k, nprobe, bucket, maxcnt),
+        )
         shard = NamedSharding(self.mesh, P(SHARD_AXIS))
-        v, pos = self._search_cache[skey](
+        v, pos = scan_fn(
             bias, luts, *self._dev_arrays,
             jax.device_put(seg_ids, shard), jax.device_put(q_ids, shard),
             jax.device_put(slot_pair, shard), jax.device_put(soq, shard),
@@ -654,12 +671,11 @@ class IVFPQIndex:
         row_ids[live] = self.packed.row_ids[lidx]
         seg_valid[live] = self.packed.seg_valid[lidx]
 
-        rkey = ("rank", qn, k, nprobe, bucket, maxcnt)
-        if rkey not in self._search_cache:
-            self._search_cache[rkey] = self._build_rank_host(
-                qn, k, nprobe, bucket, maxcnt
-            )
-        v, pos = self._search_cache[rkey](
+        rank_fn = self._cached_fn(
+            ("rank", qn, k, nprobe, bucket, maxcnt),
+            lambda: self._build_rank_host(qn, k, nprobe, bucket, maxcnt),
+        )
+        v, pos = rank_fn(
             bias, luts, jnp.asarray(codes3), jnp.asarray(row_ids),
             jnp.asarray(seg_valid), jnp.asarray(q_ids[0]),
             jnp.asarray(slot_pair[0]), jnp.asarray(soq[0]),

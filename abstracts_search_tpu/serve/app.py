@@ -83,6 +83,30 @@ def make_handler(engine: SearchEngine):
             else:
                 self._send(404, b'{"error":"not found"}', "application/json")
 
+        def do_POST(self):  # noqa: N802 (http.server API)
+            """Batch endpoint: POST /search {"queries": [...], "k": 10}."""
+            url = urllib.parse.urlparse(self.path)
+            if url.path != "/search":
+                self._send(404, b'{"error":"not found"}', "application/json")
+                return
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                body = json.loads(self.rfile.read(length) or b"{}")
+                queries = body.get("queries")
+                if (not isinstance(queries, list) or not queries
+                        or not all(isinstance(q, str) for q in queries)):
+                    self._send(400, b'{"error":"queries must be a list of strings"}',
+                               "application/json")
+                    return
+                k = min(int(body.get("k", 10)), 100)
+                results = engine.search_batch(queries[:256], k=k)
+                out = json.dumps({"results": results}).encode()
+                self._send(200, out, "application/json")
+            except Exception as e:
+                logger.exception("batch search failed")
+                self._send(500, json.dumps({"error": str(e)}).encode(),
+                           "application/json")
+
         def log_message(self, fmt, *args):
             logger.info("%s " + fmt, self.client_address[0], *args)
 

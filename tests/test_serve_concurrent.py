@@ -1,0 +1,104 @@
+"""Serving hardening: concurrent first queries + batch endpoint.
+
+VERDICT.md round-1 weak #6: ThreadingHTTPServer drove a shared engine
+whose compile-on-miss search cache was unsynchronized. The index now
+single-flights compiles; the app adds POST /search for batches and the
+engine warms the hot shape at startup.
+"""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+from abstracts_search_tpu.models.registry import HashEmbedder
+from abstracts_search_tpu.parallel import build_mesh
+from abstracts_search_tpu.serve.app import make_handler
+from abstracts_search_tpu.serve.engine import SearchEngine
+
+
+@pytest.fixture(scope="module")
+def engine():
+    rng = np.random.default_rng(0)
+    emb = HashEmbedder(24)
+    docs = [f"document number {i} about subject {i % 13}" for i in range(400)]
+    x = emb(docs)
+    idx = IVFPQIndex(8, 24, pq_m=4, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0)
+    idx.train(x, kmeans_iters=4, pq_iters=4)
+    idx.fill(x)
+    ids = [f"https://openalex.org/W{i}" for i in range(400)]
+    return SearchEngine(idx, ids, emb, nprobe=4)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(engine))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_concurrent_first_queries_compile_safely(server):
+    """8 concurrent queries with NOVEL (qn, k) shapes — each misses the
+    compile cache; unsynchronized round-1 raced here."""
+    errors = []
+    results = {}
+
+    def hit(k):
+        try:
+            with urllib.request.urlopen(
+                f"{server}/search?q=subject%20{k}&k={k}", timeout=120
+            ) as r:
+                results[k] = json.loads(r.read())
+        except Exception as e:  # noqa: BLE001
+            errors.append((k, e))
+
+    threads = [threading.Thread(target=hit, args=(k,)) for k in range(3, 11)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    for k, body in results.items():
+        assert len(body["results"]) <= k
+        assert all(r["id"].startswith("https://") for r in body["results"])
+
+
+def test_batch_endpoint(server):
+    payload = json.dumps({
+        "queries": ["subject 3", "subject 7", "document number 11"],
+        "k": 5,
+    }).encode()
+    req = urllib.request.Request(f"{server}/search", data=payload,
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=120) as r:
+        body = json.loads(r.read())
+    assert len(body["results"]) == 3
+    for row in body["results"]:
+        assert 0 < len(row) <= 5
+        assert all("id" in hit and "score" in hit for hit in row)
+
+
+def test_batch_endpoint_rejects_bad_input(server):
+    req = urllib.request.Request(
+        f"{server}/search", data=b'{"queries": "not a list"}',
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_warmup_compiles_single_query_path(engine):
+    engine.index._search_cache.clear()
+    engine.warmup()
+    keys = list(engine.index._search_cache)
+    assert any(k[0] == "probe" and k[1] == 1 for k in keys), keys
+    assert any(k[0] in ("scan", "rank") for k in keys), keys
