@@ -237,6 +237,14 @@ def cmd_serve(args, cfg):
 
 def make_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="astpu", description=__doc__)
+    # multi-host entry (one process per host on a v5e-8+ slice): join the
+    # distributed runtime before any jax use; see parallel/mesh.py
+    p.add_argument("--coordinator", metavar="HOST:PORT",
+                   help="jax.distributed coordinator address (multi-host)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="total processes in the multi-host job")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id (default: runtime autodetect)")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     sp = sub.add_parser("init", help="create an empty embedding store")
@@ -328,6 +336,12 @@ def main(argv=None) -> int:
     args = make_parser().parse_args(argv)
     cfg = load_config()
     try:
+        if args.coordinator:
+            if not args.num_processes:
+                raise ValueError("--coordinator requires --num-processes")
+            from .parallel.mesh import init_distributed
+
+            init_distributed(args.coordinator, args.num_processes, args.process_id)
         args.fn(args, cfg)
     except (FileExistsError, FileNotFoundError, ValueError, RuntimeError) as e:
         print(f"astpu: error: {e}", file=sys.stderr)

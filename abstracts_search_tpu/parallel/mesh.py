@@ -18,6 +18,28 @@ SHARD_AXIS = "shard"
 TP_AXIS = "tp"
 
 
+def init_distributed(coordinator: str, num_processes: int,
+                     process_id: int | None = None) -> None:
+    """Join a multi-host JAX runtime BEFORE any backend use.
+
+    The multi-controller entry point for real v5e-8+ slices (one process
+    per host): after `jax.distributed.initialize`, `jax.devices()`
+    returns the GLOBAL device set, so `build_mesh()` spans the slice and
+    the same shard_map programs scale out — collectives ride ICI within
+    a slice and DCN across slices; no code elsewhere changes
+    (SURVEY.md §5 distributed-communication requirement; the reference
+    is single-node and has no analog). Driven by the CLI flags
+    `--coordinator host:port --num-processes N [--process-id I]`
+    (process id defaults to the TPU runtime's autodetection).
+    """
+    import jax
+
+    kw = {"coordinator_address": coordinator, "num_processes": num_processes}
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+
+
 def build_mesh(devices=None, *, tp: int = 1) -> Mesh:
     """Build a (shard, tp) mesh over the given (default: all) devices.
 

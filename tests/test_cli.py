@@ -56,3 +56,29 @@ def test_cli_build_idempotent_reupsert(in_tmp):
     store = EmbeddingStore("d.sqlite")
     assert len(store) == 1
     store.close()
+
+
+def test_multihost_flags_initialize_distributed(monkeypatch, tmp_path, capsys):
+    """--coordinator/--num-processes join the jax.distributed runtime
+    before any backend work (multi-host entry, SURVEY.md §5)."""
+    import abstracts_search_tpu.parallel.mesh as mesh_mod
+    from abstracts_search_tpu.cli import main
+
+    calls = []
+    monkeypatch.setattr(
+        mesh_mod, "init_distributed",
+        lambda coord, n, pid=None: calls.append((coord, n, pid)),
+    )
+    db = tmp_path / "d.sqlite"
+    rc = main(["--coordinator", "10.0.0.1:1234", "--num-processes", "4",
+               "--process-id", "2", "init", str(db)])
+    assert rc == 0 and db.exists()
+    assert calls == [("10.0.0.1:1234", 4, 2)]
+
+
+def test_coordinator_requires_num_processes(tmp_path, capsys):
+    from abstracts_search_tpu.cli import main
+
+    rc = main(["--coordinator", "10.0.0.1:1234", "init", str(tmp_path / "x.sqlite")])
+    assert rc == 1
+    assert "num-processes" in capsys.readouterr().err
