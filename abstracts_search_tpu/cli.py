@@ -172,14 +172,17 @@ def cmd_clean(args, cfg):
 
 
 def cmd_publish(args, cfg):
-    """Validate the publishable dataset layouts and print upload commands.
+    """Validate (and optionally stage) the publishable dataset layouts.
 
     The reference publishes `abstracts-embeddings` (parquet + events) and
     `abstracts-faiss` (index artifacts) as HF datasets (README.md:8,10);
     those directories double as the disaster-recovery source for
     `recover` (Makefile:98-101). This environment has no egress, so the
-    command stages/validates and emits the `hf upload` invocations.
+    command validates, stages a complete upload tree under ``--out``
+    (hardlinks where possible, with a manifest of file sizes), and emits
+    the `hf upload` invocations.
     """
+    import os
     from pathlib import Path
 
     problems = []
@@ -196,10 +199,43 @@ def cmd_publish(args, cfg):
         for p in problems:
             print(f"publish: NOT READY: {p}", file=sys.stderr)
         raise RuntimeError("artifact layout incomplete")
-    print(f"# publish the embeddings dataset (CC0) — recovery source for `astpu recover`")
-    print(f"hf upload {args.embeddings_repo} {emb_root} --repo-type dataset")
-    print(f"# publish the trained index")
-    print(f"hf upload {args.faiss_repo} {idx_root.parent} --repo-type dataset")
+
+    emb_src, faiss_src = emb_root, idx_root.parent
+    if args.out:
+        out = Path(args.out)
+        emb_src = _stage_tree(emb_root, out / "abstracts-embeddings")
+        faiss_src = _stage_tree(idx_root.parent, out / "abstracts-faiss")
+        print(f"staged {emb_src} and {faiss_src} (see publish_manifest.json)")
+    print("# publish the embeddings dataset (CC0) — recovery source for `astpu recover`")
+    print(f"hf upload {args.embeddings_repo} {emb_src} --repo-type dataset")
+    print("# publish the trained index")
+    print(f"hf upload {args.faiss_repo} {faiss_src} --repo-type dataset")
+
+
+def _stage_tree(src, dst):
+    """Hardlink (fallback copy) ``src`` into ``dst`` + size manifest —
+    a complete, recover-tested upload tree without doubling disk."""
+    import json as _json
+    import os
+    import shutil
+    from pathlib import Path
+
+    src, dst = Path(src), Path(dst)
+    if dst.exists():
+        shutil.rmtree(dst)
+    manifest = {}
+    for root, _dirs, files in os.walk(src):
+        rel_root = Path(root).relative_to(src)
+        (dst / rel_root).mkdir(parents=True, exist_ok=True)
+        for f in files:
+            s, d = Path(root) / f, dst / rel_root / f
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+            manifest[str(rel_root / f)] = s.stat().st_size
+    (dst / "publish_manifest.json").write_text(_json.dumps(manifest, indent=2, sort_keys=True))
+    return dst
 
 
 def cmd_convert_model(args, cfg):
@@ -307,6 +343,7 @@ def make_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("publish", help="validate artifact layouts; print upload commands")
     sp.add_argument("--embeddings-repo", default="you/abstracts-embeddings")
     sp.add_argument("--faiss-repo", default="you/abstracts-faiss")
+    sp.add_argument("--out", help="stage a complete upload tree here (hardlinks)")
     sp.set_defaults(fn=cmd_publish)
 
     sp = sub.add_parser("convert-model",

@@ -187,3 +187,36 @@ def test_http_server(pipeline):
             assert e.code == 400
     finally:
         server.shutdown()
+
+
+def test_publish_stages_recoverable_tree(pipeline, monkeypatch, capsys):
+    """`astpu publish --out` stages complete upload trees (reference
+    datasets abstracts-embeddings/abstracts-faiss, README.md:8,10) that
+    recover can bootstrap from."""
+    tmp_path, cfg, d = pipeline
+    d.target_build()
+    d.target_dump()
+    d.target_fill()
+    d.target_tune()
+
+    from abstracts_search_tpu.cli import main
+
+    monkeypatch.chdir(tmp_path)
+    out = tmp_path / "staged"
+    assert main(["publish", "--out", str(out)]) == 0
+    printed = capsys.readouterr().out
+    assert "hf upload" in printed
+
+    emb = out / "abstracts-embeddings"
+    fss = out / "abstracts-faiss"
+    assert (emb / "data").is_dir() and (emb / "events").is_dir()
+    assert (fss / "index" / "index" / "lists" / "codes.bin").exists()
+    assert (fss / "index" / "ids.parquet").exists()
+    assert (fss / "index" / "params.json").exists()
+    manifest = json.loads((emb / "publish_manifest.json").read_text())
+    assert any(k.startswith("data/data_") for k in manifest)
+
+    # the staged tree is a valid recovery source (Makefile:98-101 parity)
+    cfg2 = cfg.replace(data_dir=str(emb / "data"), store_path=str(tmp_path / "r.sqlite"))
+    d2 = Driver(cfg2, root=tmp_path, embedder="hash")
+    assert d2.target_recover() == 60
