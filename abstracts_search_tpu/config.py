@@ -73,7 +73,11 @@ class Config:
     pq_m: int = 64                    # PQ subquantizers (64 B/vec at 8 bits)
     pq_nbits: int = 8
     opq: bool = True
-    index_storage: str = "device"     # "device" (HBM) | "host" (RAM, ondisk analog)
+    # "device" (lists in HBM) | "host" (memmap, ondisk analog) |
+    # "hybrid" (hottest lists in HBM up to index_hot_bytes/device,
+    # cold tail from the memmap)
+    index_storage: str = "device"
+    index_hot_bytes: int = 1 << 30
 
     # Ingest
     manifest_url: str = "https://openalex.s3.amazonaws.com/data/works/manifest"
@@ -99,6 +103,8 @@ _ENV_MAP = {
     "ASTPU_TUNE_SAMPLE": ("tune_sample", int),
     "ASTPU_CKPT": ("ckpt_dir", str),
     "ASTPU_INGEST_BUFFER_BYTES": ("ingest_buffer_bytes", int),
+    "ASTPU_INDEX_STORAGE": ("index_storage", str),
+    "ASTPU_INDEX_HOT_BYTES": ("index_hot_bytes", int),
     # Reference-compatible names (README.md:28,60)
     "SIDECARSEARCH_MODEL": ("model_name", str),
     "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),

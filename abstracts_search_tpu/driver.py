@@ -186,7 +186,8 @@ class Driver:
 
     def _load_index(self, *, filled: bool) -> IVFPQIndex:
         d = self.filled_dir if filled else self.empty_dir
-        return IVFPQIndex.load(d, mesh=self.mesh, storage=self.cfg.index_storage)
+        return IVFPQIndex.load(d, mesh=self.mesh, storage=self.cfg.index_storage,
+                               hot_budget_bytes=self.cfg.index_hot_bytes)
 
     def target_fill(self, *, force: bool = False) -> bool:
         self.target_train()

@@ -88,6 +88,7 @@ class IVFPQIndex:
         impl: str = "auto",
         scan_impl: str = "auto",
         storage: str = "device",
+        hot_budget_bytes: int = 1 << 30,
         seed: int = 0,
     ):
         self.n_lists = n_lists
@@ -106,8 +107,15 @@ class IVFPQIndex:
         # "host" = lists stay in a host (mem-mapped) CSR and probed
         # segments are gathered per batch — the OnDiskInvertedLists
         # analog (reference `ondisk.ivfdata`, Makefile:11; SURVEY.md §5)
-        # for corpora whose codes exceed aggregate HBM.
+        # for corpora whose codes exceed aggregate HBM;
+        # "hybrid" = the biggest lists (up to hot_budget_bytes per
+        # device) stay in HBM, the cold tail serves from the memmap.
+        # Under query-follows-data traffic, expected probed rows per
+        # list scale like mass^2, so a small HBM budget absorbs most of
+        # the scan and the host path stops being a 100x cliff
+        # (round-1 VERDICT weak #5).
         self.storage = storage
+        self.hot_budget_bytes = hot_budget_bytes
         self.seed = seed
         self.use_opq = use_opq
 
@@ -427,15 +435,14 @@ class IVFPQIndex:
         self.n = packed.n_rows
         repl = NamedSharding(self.mesh, P())
         if self.storage == "device":
-            shards = shard_lists(packed, self.ndev)
-            shard = NamedSharding(self.mesh, P(SHARD_AXIS))
-            self._dev_arrays = tuple(
-                jax.device_put(a, shard)
-                for a in (shards.data, shards.row_ids, shards.seg_valid)
-            )
-            # host-side CSR per device, for the per-batch slot build
-            self._seg_start_h = shards.seg_start.astype(np.int64)  # [ndev, L]
-            self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
+            self._install_device(packed, hot_mask=None)
+            self._cold_start_h = self._cold_cnt_h = None
+        elif self.storage == "hybrid":
+            hot = self._pick_hot_lists(packed)
+            self._install_device(packed, hot_mask=hot)
+            cold_cnt = np.where(hot, 0, packed.seg_cnt).astype(np.int64)
+            self._cold_start_h = packed.seg_start[None].astype(np.int64)
+            self._cold_cnt_h = cold_cnt[None]
         else:
             # host mode: the canonical CSR stays host-side (data/row_ids
             # may be memmaps); the search gathers probed segments per
@@ -443,10 +450,45 @@ class IVFPQIndex:
             self._dev_arrays = ()
             self._seg_start_h = packed.seg_start[None].astype(np.int64)  # [1, L]
             self._seg_cnt_h = packed.seg_cnt[None].astype(np.int64)
+            self._cold_start_h = self._cold_cnt_h = None
         self._centroids_dev = jax.device_put(self._padded_centroids(), repl)
         self._pq_cent_dev = jax.device_put(self.pq.centroids, repl)
         self._rot_dev = jax.device_put(self.rotation, repl)
         self._search_cache.clear()
+
+    def _pick_hot_lists(self, packed: CSRLists) -> np.ndarray:
+        """Largest lists first until the per-device HBM budget is spent
+        (mass^2 heuristic: big lists are probed most AND cost most)."""
+        seg_bytes = packed.seg_size * (
+            int(np.prod(packed.data.shape[2:])) * packed.data.dtype.itemsize + 4
+        )
+        order = np.argsort(-packed.seg_cnt.astype(np.int64), kind="stable")
+        cum = np.cumsum(packed.seg_cnt[order].astype(np.int64) * seg_bytes)
+        budget_total = self.hot_budget_bytes * self.ndev
+        hot = np.zeros(packed.n_lists, bool)
+        hot[order[cum <= budget_total]] = True
+        return hot
+
+    def _install_device(self, packed: CSRLists, hot_mask) -> None:
+        if hot_mask is None:
+            view = packed
+        else:
+            view = CSRLists(
+                data=packed.data, row_ids=packed.row_ids,
+                seg_valid=packed.seg_valid, seg_start=packed.seg_start,
+                seg_cnt=np.where(hot_mask, packed.seg_cnt, 0).astype(np.int32),
+                seg_size=packed.seg_size, n_lists=packed.n_lists,
+                n_rows=packed.n_rows,
+            )
+        shards = shard_lists(view, self.ndev)
+        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
+        self._dev_arrays = tuple(
+            jax.device_put(a, shard)
+            for a in (shards.data, shards.row_ids, shards.seg_valid)
+        )
+        # host-side CSR per device, for the per-batch slot build
+        self._seg_start_h = shards.seg_start.astype(np.int64)  # [ndev, L]
+        self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
 
     def _padded_centroids(self) -> np.ndarray:
         k_pad = _round_up(self.n_lists, self.chunk)
@@ -484,7 +526,8 @@ class IVFPQIndex:
 
     # -- search: phase 2 (host slot build) -------------------------------------------
 
-    def _build_slots(self, probes: np.ndarray, nprobe: int):
+    def _build_slots(self, probes: np.ndarray, nprobe: int,
+                     seg_start_h=None, seg_cnt_h=None):
         """Expand probed lists through each device's CSR into flat slot
         lists — exactly the live segments, padded to a power-of-two
         bucket shared across devices (SPMD needs equal shapes).
@@ -492,15 +535,17 @@ class IVFPQIndex:
         Returns (seg_ids, q_ids, slot_pair [ndev, bucket] i32,
         slots_of_q [ndev, Q, maxcnt] i32 with -1 padding).
         """
+        if seg_start_h is None:
+            seg_start_h, seg_cnt_h = self._seg_start_h, self._seg_cnt_h
         qn = probes.shape[0]
-        ndev = self._seg_cnt_h.shape[0]
+        ndev = seg_cnt_h.shape[0]
         pl_flat = probes.reshape(-1).astype(np.int64)          # [Q*P]
 
         per_dev = []
         totals, maxcnts = [], []
         for d in range(ndev):
-            cnt = self._seg_cnt_h[d][pl_flat]                  # [Q*P]
-            seg_ids, pair = ragged_ranges(self._seg_start_h[d][pl_flat], cnt)
+            cnt = seg_cnt_h[d][pl_flat]                        # [Q*P]
+            seg_ids, pair = ragged_ranges(seg_start_h[d][pl_flat], cnt)
             percnt = cnt.reshape(qn, nprobe).sum(axis=1)       # [Q]
             per_dev.append((seg_ids, pair, percnt))
             totals.append(len(seg_ids))
@@ -655,6 +700,22 @@ class IVFPQIndex:
             jax.device_put(seg_ids, shard), jax.device_put(q_ids, shard),
             jax.device_put(slot_pair, shard), jax.device_put(soq, shard),
         )
+        if self.storage == "hybrid":
+            # cold tail from the memmap while the hot scan runs on
+            # device (v/pos above are lazy jax arrays until read)
+            cs, cq, cp, csoq, cb, cm = self._build_slots(
+                probes_h, nprobe, self._cold_start_h, self._cold_cnt_h
+            )
+            self.last_scan_stats["cold_live_slots"] = int((cp >= 0).sum())
+            vc, pc = self._finish_host(
+                bias, luts, cs, cq, cp, csoq, qn, k, nprobe, cb, cm
+            )
+            v, pos = np.asarray(v), np.asarray(pos, np.int64)
+            av = np.concatenate([v, vc], axis=1)
+            ap = np.concatenate([pos, pc], axis=1)
+            sel = np.argsort(-av, axis=1, kind="stable")[:, :k]
+            return (np.take_along_axis(av, sel, axis=1),
+                    np.take_along_axis(ap, sel, axis=1))
         return np.asarray(v), np.asarray(pos, np.int64)
 
     def _finish_host(self, bias, luts, seg_ids, q_ids, slot_pair, soq,

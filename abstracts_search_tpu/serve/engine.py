@@ -52,7 +52,8 @@ class SearchEngine:
             raise FileNotFoundError(
                 f"no filled index under {index_dir} (run `astpu index fill` / `astpu all`)"
             )
-        index = IVFPQIndex.load(filled, mesh=mesh, storage=cfg.index_storage)
+        index = IVFPQIndex.load(filled, mesh=mesh, storage=cfg.index_storage,
+                                hot_budget_bytes=cfg.index_hot_bytes)
 
         params_path = index_dir / "params.json"
         nprobe = 16
