@@ -66,12 +66,14 @@ class Config:
     normalize: bool = True            # TRAINFLAGS -N: unit-sphere inner product
     train_sample: int = 10_000_000    # k-means/PQ training subset size
     tune_sample: int = 100_000        # sample-fill size when tuning unfilled
-    # PQ code layout. Default matches the faiss-style PQ64x8 (64 B/vec).
-    # Measured on v5e: pq_m=128, pq_nbits=4 (same 64 B/vec, fastscan-
-    # style) gives ~1.5x the QPS at equal-or-better recall — preferred
-    # for production (benchmarks/RESULTS.md).
-    pq_m: int = 64                    # PQ subquantizers (64 B/vec at 8 bits)
-    pq_nbits: int = 8
+    # PQ code layout: 128 subquantizers x 4 bits = 64 B/vector — the
+    # TPU answer to faiss's PQ64x4fs fastscan: same memory as PQ64x8
+    # but 8x fewer one-hot lanes per code byte in the ADC kernel;
+    # measured ~1.75x the QPS at equal-or-better recall
+    # (benchmarks/RESULTS.md). Set pq_m=64, pq_nbits=8 for the
+    # byte-code faiss-classic layout.
+    pq_m: int = 128
+    pq_nbits: int = 4
     opq: bool = True
     # "device" (lists in HBM) | "host" (memmap, ondisk analog) |
     # "hybrid" (hottest lists in HBM up to index_hot_bytes/device,
