@@ -5,6 +5,7 @@ on the real chip, sweeps nprobe against the exact flat oracle, and
 prints an operating-point table (recall@10 vs QPS/chip).
 """
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -21,6 +22,14 @@ NQ = 256
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=N)
+    ap.add_argument("--seg", type=int, default=512)
+    ap.add_argument("--pq-m", type=int, default=64)
+    ap.add_argument("--pq-nbits", type=int, default=8)
+    args = ap.parse_args()
+    global N
+    N = args.n
     import jax
     import jax.numpy as jnp
 
@@ -51,8 +60,9 @@ def main() -> None:
     print(f"exact oracle: {time.time()-t0:.0f}s", flush=True)
     del flat
 
-    idx = IVFPQIndex(K_LISTS, D, pq_m=64, pq_nbits=8, use_opq=False,
-                     mesh=mesh, seg_size=512, chunk=2048, seed=0, scan_impl="slots")
+    idx = IVFPQIndex(K_LISTS, D, pq_m=args.pq_m, pq_nbits=args.pq_nbits,
+                     use_opq=False, mesh=mesh, seg_size=args.seg, chunk=2048,
+                     seed=0, scan_impl="slots")
     t0 = time.time()
     idx.train(x[:TRAIN], kmeans_iters=6, pq_iters=6)
     t_train = time.time() - t0
