@@ -486,7 +486,13 @@ class IVFPQIndex:
             jax.device_put(a, shard)
             for a in (shards.data, shards.row_ids, shards.seg_valid)
         )
-        # host-side CSR per device, for the per-batch slot build
+        # CSR resident on device too: the scan derives its slot list
+        # in-jit, so no slot arrays ever upload per batch
+        self._csr_dev = tuple(
+            jax.device_put(a.astype(np.int32), shard)
+            for a in (shards.seg_start, shards.seg_cnt)
+        )
+        # host-side CSR per device, for the hybrid cold path + stats
         self._seg_start_h = shards.seg_start.astype(np.int64)  # [ndev, L]
         self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
 
@@ -523,6 +529,41 @@ class IVFPQIndex:
             return probes, bias, luts
 
         return jax.jit(probe)
+
+    def _build_probe_csr(self, qn: int, nprobe: int):
+        """Probe + per-device slot totals in ONE call: alongside the
+        probes/bias/LUTs, each device reports how many live slots and
+        the max per-query slot count its CSR implies — the only two
+        numbers the host needs to pick the scan's bucket shapes."""
+        chunk, impl, K = self.chunk, self.impl, self.n_lists
+        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
+
+        def local(q, rot, c, pqc, seg_cnt):
+            seg_cnt = seg_cnt[0]
+            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+            _, probes = streaming_topk(
+                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
+            )
+            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
+            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
+                              preferred_element_type=jnp.float32)
+            luts = jnp.einsum(
+                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
+                preferred_element_type=jnp.float32,
+            )
+            cnt = jnp.take(seg_cnt, probes.reshape(-1))
+            percnt = jnp.sum(cnt.reshape(qn, nprobe), axis=1)
+            return (probes, bias, luts,
+                    jnp.sum(cnt)[None], jnp.max(percnt)[None])
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P(), P(SHARD_AXIS)),
+            out_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS)),
+            check_vma=False,
+        )
+        return jax.jit(fn)
 
     # -- search: phase 2 (host slot build) -------------------------------------------
 
@@ -590,13 +631,12 @@ class IVFPQIndex:
         tiles so seg_ids double as tile indices)."""
         seg = self.seg_size
 
-        def body(bias, luts, codes3, row_ids, seg_valid,
-                 seg_ids, q_ids, slot_pair, slots_of_q):
+        def body(slot_bias, live_slot, luts, codes3, row_ids, seg_valid,
+                 seg_ids, q_ids, slots_of_q):
             scores = adc(codes3, luts, seg_ids, q_ids)          # [bucket, SEG]
-            sb = jnp.take(bias.reshape(-1), jnp.clip(slot_pair, 0, None))
-            scores = scores + sb[:, None]
+            scores = scores + slot_bias[:, None]
             row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
-            live = (slot_pair >= 0)[:, None] & (
+            live = live_slot[:, None] & (
                 row_iota < jnp.take(seg_valid, seg_ids)[:, None]
             )
             scores = jnp.where(live, scores, NEG_INF)
@@ -623,20 +663,46 @@ class IVFPQIndex:
         return body
 
     def _build_scan(self, qn: int, k: int, nprobe: int, bucket: int, maxcnt: int):
-        """Device mode: SPMD scan over the mesh-sharded lists."""
+        """Device mode: SPMD scan over the mesh-sharded lists, with the
+        slot list derived ON DEVICE from the resident CSR (searchsorted
+        over the probe-count cumsum) — nothing but the two bucket
+        scalars ever crosses to the host between probe and scan."""
+        seg = self.seg_size
         body = self._scan_body(qn, k, nprobe, self._adc_fn())
 
-        def local(bias, luts, data, row_ids, seg_valid,
-                  seg_ids, q_ids, slot_pair, slots_of_q):
-            v, pos = body(
-                bias, luts, data[0], row_ids[0], seg_valid[0],
-                seg_ids[0], q_ids[0], slot_pair[0], slots_of_q[0],
-            )
+        def local(probes, bias, luts, data, row_ids, seg_valid,
+                  seg_start, seg_cnt):
+            data, row_ids, seg_valid = data[0], row_ids[0], seg_valid[0]
+            seg_start, seg_cnt = seg_start[0], seg_cnt[0]
+
+            pl = probes.reshape(-1)                          # [QP]
+            cnt = jnp.take(seg_cnt, pl)                      # [QP] i32
+            cum = jnp.cumsum(cnt)
+            total = cum[-1]
+            s = jnp.arange(bucket, dtype=jnp.int32)
+            pair = jnp.searchsorted(cum, s, side="right").astype(jnp.int32)
+            pairc = jnp.minimum(pair, qn * nprobe - 1)
+            within = s - (jnp.take(cum, pairc) - jnp.take(cnt, pairc))
+            seg_ids = jnp.take(seg_start, jnp.take(pl, pairc)) + within
+            seg_ids = jnp.clip(seg_ids, 0, seg_valid.shape[0] - 1)
+            live_slot = s < total
+            q_ids = pairc // nprobe
+            slot_bias = jnp.take(bias.reshape(-1), pairc)
+
+            percnt = jnp.sum(cnt.reshape(qn, nprobe), axis=1)  # [Q]
+            qoff = jnp.cumsum(percnt) - percnt
+            ar = jnp.arange(maxcnt, dtype=jnp.int32)
+            slots_of_q = jnp.where(
+                ar[None, :] < percnt[:, None], qoff[:, None] + ar[None, :], -1
+            ).astype(jnp.int32)
+
+            v, pos = body(slot_bias, live_slot, luts, data, row_ids,
+                          seg_valid, seg_ids, q_ids, slots_of_q)
             return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
 
         fn = shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(), P()) + (P(SHARD_AXIS),) * 7,
+            in_specs=(P(), P(), P()) + (P(SHARD_AXIS),) * 5,
             out_specs=(P(), P()),
             check_vma=False,
         )
@@ -650,8 +716,9 @@ class IVFPQIndex:
         def rank(bias, luts, codes3, row_ids, seg_valid,
                  q_ids, slot_pair, slots_of_q):
             seg_ids = jnp.arange(bucket, dtype=jnp.int32)
-            return body(bias, luts, codes3, row_ids, seg_valid,
-                        seg_ids, q_ids, slot_pair, slots_of_q)
+            slot_bias = jnp.take(bias.reshape(-1), jnp.clip(slot_pair, 0, None))
+            return body(slot_bias, slot_pair >= 0, luts, codes3, row_ids,
+                        seg_valid, seg_ids, q_ids, slots_of_q)
 
         return jax.jit(rank)
 
@@ -664,47 +731,56 @@ class IVFPQIndex:
         nprobe = min(nprobe, self.n_lists)
         qn = q.shape[0]
 
-        probe_fn = self._cached_fn(
-            ("probe", qn, nprobe), lambda: self._build_probe(qn, nprobe)
-        )
-        probes, bias, luts = probe_fn(
-            jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev
-        )
-        probes_h = np.asarray(probes)
-
-        seg_ids, q_ids, slot_pair, soq, bucket, maxcnt = self._build_slots(
-            probes_h, nprobe
-        )
-        # scan-work accounting (work-proportionality is THE property of
-        # this layout — benchmarks and tests read it back)
-        self.last_scan_stats = {
-            "bucket": int(bucket),
-            "live_slots": int((slot_pair >= 0).sum()),
-            "maxcnt": int(maxcnt),
-            "rows_scanned": int(bucket * seg_ids.shape[0] * self.seg_size),
-        }
-
         if self.storage == "host":
+            probe_fn = self._cached_fn(
+                ("probe", qn, nprobe), lambda: self._build_probe(qn, nprobe)
+            )
+            probes, bias, luts = probe_fn(
+                jnp.asarray(q), self._rot_dev, self._centroids_dev, self._pq_cent_dev
+            )
+            seg_ids, q_ids, slot_pair, soq, bucket, maxcnt = self._build_slots(
+                np.asarray(probes), nprobe
+            )
+            self.last_scan_stats = {
+                "bucket": int(bucket),
+                "live_slots": int((slot_pair >= 0).sum()),
+                "maxcnt": int(maxcnt),
+            }
             return self._finish_host(
                 bias, luts, seg_ids, q_ids, slot_pair, soq,
                 qn, k, nprobe, bucket, maxcnt,
             )
 
+        # device / hybrid: probe returns per-device slot totals; only
+        # those two tiny scalars cross to the host before the scan
+        probe_fn = self._cached_fn(
+            ("probe_csr", qn, nprobe), lambda: self._build_probe_csr(qn, nprobe)
+        )
+        probes, bias, luts, totals, maxqs = probe_fn(
+            jnp.asarray(q), self._rot_dev, self._centroids_dev,
+            self._pq_cent_dev, self._csr_dev[1],
+        )
+        totals_h = np.asarray(totals)
+        bucket = _next_pow2(int(totals_h.max()), lo=8)
+        maxcnt = _next_pow2(int(np.asarray(maxqs).max()), lo=1)
+        # scan-work accounting (work-proportionality is THE property of
+        # this layout — benchmarks and tests read it back)
+        self.last_scan_stats = {
+            "bucket": int(bucket),
+            "live_slots": int(totals_h.sum()),
+            "maxcnt": int(maxcnt),
+        }
+
         scan_fn = self._cached_fn(
             ("scan", qn, k, nprobe, bucket, maxcnt),
             lambda: self._build_scan(qn, k, nprobe, bucket, maxcnt),
         )
-        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
-        v, pos = scan_fn(
-            bias, luts, *self._dev_arrays,
-            jax.device_put(seg_ids, shard), jax.device_put(q_ids, shard),
-            jax.device_put(slot_pair, shard), jax.device_put(soq, shard),
-        )
+        v, pos = scan_fn(probes, bias, luts, *self._dev_arrays, *self._csr_dev)
         if self.storage == "hybrid":
             # cold tail from the memmap while the hot scan runs on
             # device (v/pos above are lazy jax arrays until read)
             cs, cq, cp, csoq, cb, cm = self._build_slots(
-                probes_h, nprobe, self._cold_start_h, self._cold_cnt_h
+                np.asarray(probes), nprobe, self._cold_start_h, self._cold_cnt_h
             )
             self.last_scan_stats["cold_live_slots"] = int((cp >= 0).sum())
             vc, pc = self._finish_host(

@@ -23,13 +23,12 @@ NQ = 256
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--n", type=int, default=N)
+    ap.add_argument("--n", type=int, default=2_097_152)
     ap.add_argument("--seg", type=int, default=512)
     ap.add_argument("--pq-m", type=int, default=64)
     ap.add_argument("--pq-nbits", type=int, default=8)
     args = ap.parse_args()
-    global N
-    N = args.n
+    n_rows = args.n
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +38,7 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
     t0 = time.time()
-    x = rng.standard_normal((N, D), dtype=np.float32)
+    x = rng.standard_normal((n_rows, D), dtype=np.float32)
     x /= np.linalg.norm(x, axis=1, keepdims=True)
     print(f"corpus gen: {time.time()-t0:.0f}s", flush=True)
 
@@ -48,7 +47,7 @@ def main() -> None:
     # query becomes 95% noise and coarse probing degenerates (that's the
     # data model being broken, not the index). 0.01/dim => cosine ~0.95
     # to the source, which is what real near-duplicate queries look like.
-    q = x[rng.choice(N, NQ, replace=False)] + 0.01 * rng.standard_normal((NQ, D), dtype=np.float32)
+    q = x[rng.choice(n_rows, NQ, replace=False)] + 0.01 * rng.standard_normal((NQ, D), dtype=np.float32)
     q /= np.linalg.norm(q, axis=1, keepdims=True)
 
     mesh = build_mesh()
@@ -71,12 +70,21 @@ def main() -> None:
     t0 = time.time()
     chunk_rows = 1 << 18
     idx.fill_stream(
-        (x[lo:lo + chunk_rows], np.arange(lo, min(lo + chunk_rows, N), dtype=np.int64))
-        for lo in range(0, N, chunk_rows)
+        (x[lo:lo + chunk_rows], np.arange(lo, min(lo + chunk_rows, n_rows), dtype=np.int64))
+        for lo in range(0, n_rows, chunk_rows)
     )
     t_fill = time.time() - t0
-    print(f"fill: {t_fill:.0f}s ({N/t_fill/1e3:.0f} kvec/s) "
+    print(f"fill: {t_fill:.0f}s ({n_rows/t_fill/1e3:.0f} kvec/s) "
           f"payload {idx.packed.data.nbytes/2**20:.0f} MiB", flush=True)
+
+    # measure tunnel RTT; the two-phase search syncs twice per call
+    tiny = jax.jit(lambda v: v + 1)
+    z = jnp.zeros((8,))
+    np.asarray(tiny(z))
+    t0 = time.time()
+    for _ in range(10):
+        np.asarray(tiny(z))
+    rtt = (time.time() - t0) / 10
 
     print(f"{'nprobe':>7} {'recall@10':>10} {'1-recall@10':>12} {'ms/batch':>9} {'QPS/chip':>9}")
     for nprobe in (8, 16, 32, 64, 128):
@@ -87,7 +95,7 @@ def main() -> None:
         t0 = time.time()
         for _ in range(reps):
             idx.search(q, 10, nprobe=nprobe)
-        dt = (time.time() - t0) / reps - 0.026  # measured tunnel RTT
+        dt = (time.time() - t0) / reps - 2 * rtt
         print(f"{nprobe:>7} {overlap:>10.3f} {hit1:>12.3f} {dt*1e3:>9.1f} {NQ/dt:>9.0f}", flush=True)
 
 

@@ -100,5 +100,5 @@ def test_warmup_compiles_single_query_path(engine):
     engine.index._search_cache.clear()
     engine.warmup()
     keys = list(engine.index._search_cache)
-    assert any(k[0] == "probe" and k[1] == 1 for k in keys), keys
+    assert any(k[0] in ("probe", "probe_csr") and k[1] == 1 for k in keys), keys
     assert any(k[0] in ("scan", "rank") for k in keys), keys
