@@ -34,7 +34,15 @@ from ..ops.topk import streaming_topk
 from ..parallel.mesh import SHARD_AXIS, build_mesh
 from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
-from .lists import CSRLists, load_lists, pack_lists, ragged_ranges, save_lists, shard_lists
+from .lists import (
+    CSRLists,
+    bucket_size,
+    load_lists,
+    pack_lists,
+    ragged_ranges,
+    save_lists,
+    shard_lists,
+)
 
 NEG_INF = float("-inf")
 
@@ -180,7 +188,7 @@ class IVFFlatIndex:
             maxcnts.append(int(percnt.max()) if qn else 0)
 
         maxcnt = _next_pow2(max(maxcnts), lo=1)
-        bucket = _next_pow2(max(len(s) for s, _ in per_dev), lo=8)
+        bucket = bucket_size(max(len(s) for s, _ in per_dev))
         seg_out = np.zeros((ndev, bucket), np.int32)
         soq = np.full((ndev, qn, maxcnt), -1, np.int32)
         ar = np.arange(maxcnt, dtype=np.int64)

@@ -22,7 +22,7 @@ of each probed list — SURVEY.md §2 #11; the round-1 padded
      exact f32 bias q . c_list, residual LUTs — one MXU einsum each.
   2. host: expand probed lists through the CSR (seg_start/seg_cnt) into
      a flat slot list — exactly sum(seg_cnt[probed]) live slots, padded
-     only to the batch's power-of-two bucket.
+     only to the batch's slot bucket (a ~1.25x geometric ladder).
   3. scan (jit, shard_map): Pallas ADC over the slot list (per-slot
      scalar-prefetched segment + LUT ids), per-slot top-k, ragged
      per-query merge via a slot table, all-gather top-k over ICI.
@@ -52,6 +52,7 @@ from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
 from .lists import (
     CSRLists,
+    bucket_size,
     load_lists,
     pack_lists,
     pack_lists_external,
@@ -368,6 +369,24 @@ class IVFPQIndex:
         parquet decode overlaps the device encode (the `mbuffer` role,
         reference Makefile:62).
         """
+        from ..utils import prefetch_iterator
+
+        stream = prefetch_iterator(iter(chunks), depth=prefetch)
+
+        def encoded():
+            for vectors, positions in stream:
+                assign, codes = self.encode(vectors)
+                yield assign, codes, np.asarray(positions)
+
+        self.fill_encoded_stream(encoded(), lists_dir=lists_dir)
+
+    def fill_encoded_stream(self, chunks, *,
+                            lists_dir: str | Path | None = None) -> None:
+        """Fill from pre-encoded ``(assignments, codes, positions)``
+        chunks. The encode may happen elsewhere — fused into a
+        device-side generator (benchmarks/scale8m_bench.py) or on
+        another host of a multi-host build — this is the common spill +
+        external-pack + install tail shared with `fill_stream`."""
         if not self.is_trained:
             raise RuntimeError("train() before fill()")
         if self.packed is not None:
@@ -379,15 +398,12 @@ class IVFPQIndex:
                 "index already filled; load the empty (trained) artifacts "
                 "and re-fill the full corpus instead of appending"
             )
-        from ..utils import prefetch_iterator
-
-        stream = prefetch_iterator(iter(chunks), depth=prefetch)
+        stream = iter(chunks)
         if lists_dir is None:
             codes_parts, assign_parts, pos_parts = [], [], []
-            for vectors, positions in stream:
-                assign, codes = self.encode(vectors)
-                codes_parts.append(codes)
-                assign_parts.append(assign)
+            for assign, codes, positions in stream:
+                codes_parts.append(np.asarray(codes, np.uint8))
+                assign_parts.append(np.asarray(assign))
                 pos_parts.append(np.asarray(positions))
             packed = pack_lists(
                 np.concatenate(codes_parts),
@@ -410,10 +426,9 @@ class IVFPQIndex:
             with open(spill / "codes.u8", "wb") as cf, \
                  open(spill / "assign.i32", "wb") as af, \
                  open(spill / "pos.i64", "wb") as pf:
-                for vectors, positions in stream:
-                    assign, codes = self.encode(vectors)
-                    codes.tofile(cf)
-                    assign.astype(np.int32).tofile(af)
+                for assign, codes, positions in stream:
+                    np.ascontiguousarray(codes, np.uint8).tofile(cf)
+                    np.asarray(assign).astype(np.int32).tofile(af)
                     np.asarray(positions, np.int64).tofile(pf)
                     n_total += len(codes)
             codes_mm = np.memmap(spill / "codes.u8", dtype=np.uint8, mode="r",
@@ -592,7 +607,7 @@ class IVFPQIndex:
             totals.append(len(seg_ids))
             maxcnts.append(int(percnt.max()) if qn else 0)
 
-        bucket = _next_pow2(max(totals), lo=8)
+        bucket = bucket_size(max(totals))
         maxcnt = _next_pow2(max(maxcnts), lo=1)
 
         seg_out = np.zeros((ndev, bucket), np.int32)
@@ -761,7 +776,7 @@ class IVFPQIndex:
             self._pq_cent_dev, self._csr_dev[1],
         )
         totals_h = np.asarray(totals)
-        bucket = _next_pow2(int(totals_h.max()), lo=8)
+        bucket = bucket_size(int(totals_h.max()))
         maxcnt = _next_pow2(int(np.asarray(maxqs).max()), lo=1)
         # scan-work accounting (work-proportionality is THE property of
         # this layout — benchmarks and tests read it back)

@@ -1,0 +1,253 @@
+"""8M-row scale demonstration: build on chip, reopen host-mode, bound RSS.
+
+Round-1 VERDICT next #3/#4 acceptance: "build at N>=8M rows, reopen in
+host mode with RSS < 2 GB, search recall unchanged". The axon tunnel
+moves ~22 MiB/s, so shipping an 8M x 1024 f32 corpus (32 GB) host->
+device would take ~25 min of pure transfer; instead the corpus is
+GENERATED ON DEVICE (clustered mixture-of-Gaussians, deterministic per
+chunk key) and encoded in place — only the 64 B/vec codes ever cross
+the tunnel (~550 MB total). The reference builds its 207M index from
+disk shards (Makefile:23-25); what this measures is our index layer at
+4x shard scale, not ingest I/O.
+
+Phases (the TPU grant is exclusive — one process at a time):
+  --phase build      train + fill + device-mode nprobe sweep; writes
+                     artifacts + queries + exact oracle to --out
+  --phase hostserve  FRESH process: reopen artifacts with
+                     storage="host" (memmap), search, assert recall
+                     matches the device run and VmHWM < --rss-gb
+
+Run:  python benchmarks/scale8m_bench.py --phase build
+      python benchmarks/scale8m_bench.py --phase hostserve
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+D = 1024
+D_INT = 64
+NQ = 256
+K = 10
+CH = 131072
+
+
+def mixture_params(n_clusters: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    basis, _ = np.linalg.qr(rng.standard_normal((D, D_INT)).astype(np.float32))
+    centers = rng.standard_normal((n_clusters, D_INT)).astype(np.float32)
+    p = 1.0 / np.arange(1, n_clusters + 1) ** 1.1
+    return basis.astype(np.float32), centers, (p / p.sum()).astype(np.float32)
+
+
+def host_sample(n, basis, centers, p, seed=1):
+    """Training sample drawn host-side from the SAME mixture (training
+    needs the distribution, not the exact device-generated rows)."""
+    rng = np.random.default_rng(seed)
+    labels = rng.choice(len(centers), size=n, p=p.astype(np.float64) / p.sum())
+    x = (centers[labels]
+         + 0.5 * rng.standard_normal((n, D_INT)).astype(np.float32)) @ basis.T
+    x /= np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return x.astype(np.float32)
+
+
+def build_gen(basis_j, centers_j, p_j):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def gen(key):
+        kl, kn = jax.random.split(key)
+        labels = jax.random.choice(kl, centers_j.shape[0], shape=(CH,), p=p_j)
+        low = jnp.take(centers_j, labels, axis=0) + 0.5 * jax.random.normal(
+            kn, (CH, D_INT), jnp.float32)
+        x = jnp.dot(low, basis_j.T, preferred_element_type=jnp.float32)
+        return x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    return gen
+
+
+def measure_rtt(reps=20):
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    a = f(jnp.zeros(8))
+    np.asarray(a)
+    t0 = time.time()
+    for _ in range(reps):
+        np.asarray(f(a))
+    return (time.time() - t0) / reps
+
+
+def rss_gb() -> float:
+    for line in Path("/proc/self/status").read_text().splitlines():
+        if line.startswith("VmHWM"):
+            return int(line.split()[1]) / (1 << 20)  # kB -> GiB
+    return float("nan")
+
+
+def phase_build(args):
+    import jax
+    import jax.numpy as jnp
+
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+    from abstracts_search_tpu.ops.topk import streaming_topk
+    from abstracts_search_tpu.parallel import build_mesh
+
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    print("backend:", jax.default_backend(), flush=True)
+    rtt = measure_rtt()
+    print(f"tunnel RTT ~{rtt*1e3:.1f} ms", flush=True)
+
+    basis, centers, p = mixture_params(args.lists)
+    basis_j, centers_j, p_j = map(jnp.asarray, (basis, centers, p))
+    gen = build_gen(basis_j, centers_j, p_j)
+    base = jax.random.key(0)
+    n_chunks = args.n // CH
+
+    # queries: near-duplicates of rows from chunk 0 (download 256 rows)
+    x0_head = np.asarray(gen(jax.random.fold_in(base, 0))[:NQ])
+    rngq = np.random.default_rng(7)
+    q = x0_head + 0.05 * rngq.standard_normal((NQ, D)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    np.save(out / "queries.npy", q)
+
+    # exact oracle: regenerate every chunk on device, streaming top-k
+    t0 = time.time()
+    qd = jnp.asarray(q, jnp.bfloat16)
+    topk = jax.jit(lambda qq, xx: streaming_topk(
+        qq, xx.astype(jnp.bfloat16), jnp.int32(CH), K, chunk=2048))
+    best_v = np.full((NQ, K), -np.inf, np.float32)
+    best_p = np.full((NQ, K), -1, np.int64)
+    for ci in range(n_chunks):
+        v, i = topk(qd, gen(jax.random.fold_in(base, ci)))
+        v = np.asarray(v, np.float32)
+        pos = np.asarray(i, np.int64) + ci * CH
+        av = np.concatenate([best_v, v], axis=1)
+        ap = np.concatenate([best_p, pos], axis=1)
+        sel = np.argsort(-av, axis=1)[:, :K]
+        best_v = np.take_along_axis(av, sel, axis=1)
+        best_p = np.take_along_axis(ap, sel, axis=1)
+    np.save(out / "oracle.npy", best_p)
+    print(f"exact oracle over {args.n} rows: {time.time()-t0:.0f}s", flush=True)
+
+    # train (the bounded-memory big-sample path: > 1 GiB triggers the
+    # rotate-to-memmap + streamed k-means branch)
+    idx = IVFPQIndex(args.lists, D, pq_m=64, pq_nbits=8, use_opq=True,
+                     mesh=build_mesh(), seg_size=args.seg, chunk=2048,
+                     seed=0, scan_impl="slots")
+    t0 = time.time()
+    sample = host_sample(args.train_rows, basis, centers, p)
+    print(f"train sample gen ({args.train_rows}): {time.time()-t0:.0f}s", flush=True)
+    t0 = time.time()
+    idx.train(sample, kmeans_iters=6, opq_iters=2, pq_iters=6)
+    print(f"train: {time.time()-t0:.0f}s "
+          f"(mode={idx.train_stats.get('train_mode', 'inram')})", flush=True)
+    del sample
+
+    # fill: generate + encode on device, download only codes/assignments
+    t0 = time.time()
+    if not hasattr(idx, "_encode_fused"):
+        idx._encode_fused = idx._build_encode_fused()
+    rot_j = jnp.asarray(idx.rotation)
+    c_j = jnp.asarray(idx._padded_centroids())
+    pqc_j = jnp.asarray(idx.pq.centroids)
+
+    def encoded_chunks():
+        for ci in range(n_chunks):
+            x = gen(jax.random.fold_in(base, ci))
+            a, cd = idx._encode_fused(x, rot_j, c_j, pqc_j)
+            yield (np.asarray(a), np.asarray(cd).astype(np.uint8),
+                   np.arange(ci * CH, (ci + 1) * CH, dtype=np.int64))
+
+    idx.fill_encoded_stream(encoded_chunks(), lists_dir=out / "index" / "lists")
+    dt = time.time() - t0
+    cnt = idx.packed.seg_cnt
+    print(f"fill {args.n} rows: {dt:.0f}s ({args.n/dt/1e3:.0f} kvec/s); "
+          f"segs max={cnt.max()} mean={cnt.mean():.2f} "
+          f"skew={cnt.max()/max(cnt.mean(),1e-9):.0f}x", flush=True)
+    idx.save(out / "index")
+
+    # device-mode sweep
+    ref = best_p
+    rows = []
+    for nprobe in (8, 16, 32, 64):
+        v, pos = idx.search(q, K, nprobe=nprobe)
+        recall = np.mean([len(set(pos[i]) & set(ref[i])) / K for i in range(NQ)])
+        reps = 5
+        t0 = time.time()
+        for _ in range(reps):
+            idx.search(q, K, nprobe=nprobe)
+        dt = max((time.time() - t0) / reps - 2 * rtt, 1e-9)
+        st = idx.last_scan_stats
+        rows.append({"nprobe": nprobe, "recall": round(float(recall), 4),
+                     "qps": round(NQ / dt), "live_slots": st["live_slots"],
+                     "bucket": st["bucket"]})
+        print(f"device nprobe={nprobe}: recall@10={recall:.3f} "
+              f"QPS/chip={NQ/dt:.0f} live={st['live_slots']} "
+              f"bucket={st['bucket']}", flush=True)
+    (out / "device_sweep.json").write_text(json.dumps(rows))
+    print("build RSS high-water: %.2f GiB" % rss_gb(), flush=True)
+
+
+def phase_hostserve(args):
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+
+    out = Path(args.out)
+    q = np.load(out / "queries.npy")
+    ref = np.load(out / "oracle.npy")
+    dev_rows = json.loads((out / "device_sweep.json").read_text())
+
+    t0 = time.time()
+    idx = IVFPQIndex.load(out / "index", storage="host")
+    print(f"host-mode load (mmap): {time.time()-t0:.1f}s", flush=True)
+
+    nprobe = args.host_nprobe
+    bs = 32
+    t0 = time.time()
+    recalls = []
+    for lo in range(0, NQ, bs):
+        _, pos = idx.search(q[lo:lo + bs], K, nprobe=nprobe)
+        recalls += [len(set(pos[i]) & set(ref[lo + i])) / K
+                    for i in range(len(pos))]
+    dt = time.time() - t0
+    recall = float(np.mean(recalls))
+    dev_recall = next(r["recall"] for r in dev_rows if r["nprobe"] == nprobe)
+    peak = rss_gb()
+    print(f"host nprobe={nprobe}: recall@10={recall:.3f} "
+          f"(device run: {dev_recall:.3f}) QPS={NQ/dt:.1f} "
+          f"(tunnel-bound; PCIe-attached would be ~100x) "
+          f"VmHWM={peak:.2f} GiB", flush=True)
+    assert abs(recall - dev_recall) < 0.02, (recall, dev_recall)
+    assert peak < args.rss_gb, f"RSS {peak:.2f} GiB >= {args.rss_gb} GiB"
+    print(json.dumps({"host_recall": recall, "device_recall": dev_recall,
+                      "rss_gib": round(peak, 2), "qps_tunnel": round(NQ / dt, 1)}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=("build", "hostserve"), required=True)
+    ap.add_argument("--n", type=int, default=8_388_608)
+    ap.add_argument("--lists", type=int, default=8192)
+    ap.add_argument("--seg", type=int, default=512)
+    ap.add_argument("--train-rows", type=int, default=393_216)
+    ap.add_argument("--host-nprobe", type=int, default=16)
+    ap.add_argument("--rss-gb", type=float, default=2.0)
+    ap.add_argument("--out", default="/tmp/astpu_scale8m")
+    args = ap.parse_args()
+    if args.phase == "build":
+        phase_build(args)
+    else:
+        phase_hostserve(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,6 +33,40 @@ def test_fill_stream_matches_oneshot(rng):
     np.testing.assert_array_equal(pa, pb)
 
 
+def test_fill_encoded_stream_matches_fill(tmp_path, rng):
+    """Pre-encoded chunks (the device-side-generator / multi-host fill
+    entry, benchmarks/scale8m_bench.py) must build the same index as
+    fill_stream over the raw vectors."""
+    n, d = 1200, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    mesh = build_mesh()
+    pos = np.arange(n, dtype=np.int64)
+
+    a = IVFPQIndex(8, d, pq_m=4, pq_nbits=4, use_opq=False,
+                   mesh=mesh, seg_size=32, chunk=128, seed=0)
+    a.train(x, kmeans_iters=4, pq_iters=4)
+    a.fill(x)
+
+    b = IVFPQIndex(8, d, pq_m=4, pq_nbits=4, use_opq=False,
+                   mesh=mesh, seg_size=32, chunk=128, seed=0)
+    b.train(x, kmeans_iters=4, pq_iters=4)
+
+    def encoded():
+        for lo in range(0, n, 400):
+            assign, codes = b.encode(x[lo:lo + 400])
+            yield assign, codes, pos[lo:lo + 400]
+
+    b.fill_encoded_stream(encoded(), lists_dir=tmp_path / "lists")
+    assert isinstance(b.packed.data, np.memmap)
+
+    q = x[:6]
+    va, pa = a.search(q, 5, nprobe=8)
+    vb, pb = b.search(q, 5, nprobe=8)
+    np.testing.assert_allclose(va, vb, atol=1e-5)
+    np.testing.assert_array_equal(pa, pb)
+
+
 def test_refill_refused(rng):
     """A second fill() would silently REPLACE the lists while numbering
     rows as if appending — it must be refused (ADVICE.md round 1)."""

@@ -3,14 +3,15 @@
 Round-1 VERDICT missing #1: the padded [n_lists, max_segs] probe table
 made every query pay nprobe * max_segs slots, so one hot list destroyed
 QPS at production scale. The CSR slot build expands exactly
-sum(seg_cnt[probed lists]) slots, padded only to the batch's power-of-
-two bucket — faiss's scan-cost-proportional-to-list-length property
-(SURVEY.md §2 #11).
+sum(seg_cnt[probed lists]) slots, padded only to the batch's slot
+bucket (~1.25x ladder) — faiss's scan-cost-proportional-to-list-length
+property (SURVEY.md §2 #11).
 """
 
 import numpy as np
 
 from abstracts_search_tpu.index.ivfpq import IVFPQIndex, _next_pow2
+from abstracts_search_tpu.index.lists import bucket_size
 from abstracts_search_tpu.parallel import build_mesh
 
 
@@ -39,10 +40,24 @@ def test_slot_build_skips_unprobed_hot_list():
     seg_ids, q_ids, slot_pair, soq, bucket, maxcnt = idx._build_slots(probes, nprobe)
     live = int((slot_pair >= 0).sum())
     assert live == qn * nprobe * 4                     # exactly the probed segs
-    assert bucket == _next_pow2(live)                  # padded to pow2 only
+    assert bucket == bucket_size(live)                 # ladder padding only
     # the old layout would scan qn * nprobe * max_segs = 16*8*400 = 51200
-    assert bucket <= 2 * live < 2048
+    assert live <= bucket <= int(live * 1.25) + 8 < 2048
     assert maxcnt == _next_pow2(nprobe * 4)
+
+
+def test_bucket_ladder_properties():
+    # monotone, >= v, and within ~25% + alignment of v
+    prev = 0
+    for v in [1, 7, 8, 9, 100, 1000, 12345, 1 << 20]:
+        b = bucket_size(v)
+        assert b >= max(v, 8) and b % 8 == 0 or b == 8
+        assert b <= int(max(v, 8) * 1.25) + 8, (v, b)
+        assert b >= prev or v < prev
+        prev = b
+    # idempotent: every ladder value maps to itself
+    for v in [8, 16, 24, 32, 40, 56, 72, 96, 120, 152]:
+        assert bucket_size(bucket_size(v)) == bucket_size(v)
 
 
 def test_slot_build_charges_only_probing_queries():
