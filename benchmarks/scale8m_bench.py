@@ -35,7 +35,7 @@ D = 1024
 D_INT = 64
 NQ = 256
 K = 10
-CH = 131072
+CH = 131072  # gen/encode chunk rows (module-level so jits close over it)
 
 
 def mixture_params(n_clusters: int, seed: int = 0):
@@ -141,14 +141,15 @@ def phase_build(args):
 
     # train (the bounded-memory big-sample path: > 1 GiB triggers the
     # rotate-to-memmap + streamed k-means branch)
-    idx = IVFPQIndex(args.lists, D, pq_m=64, pq_nbits=8, use_opq=True,
-                     mesh=build_mesh(), seg_size=args.seg, chunk=2048,
-                     seed=0, scan_impl="slots")
+    idx = IVFPQIndex(args.lists, D, pq_m=args.pq_m, pq_nbits=8,
+                     use_opq=not args.no_opq, mesh=build_mesh(),
+                     seg_size=args.seg, chunk=2048, seed=0,
+                     scan_impl=args.scan_impl)
     t0 = time.time()
     sample = host_sample(args.train_rows, basis, centers, p)
     print(f"train sample gen ({args.train_rows}): {time.time()-t0:.0f}s", flush=True)
     t0 = time.time()
-    idx.train(sample, kmeans_iters=6, opq_iters=2, pq_iters=6)
+    idx.train(sample, kmeans_iters=args.kmeans_iters, opq_iters=2, pq_iters=6)
     print(f"train: {time.time()-t0:.0f}s "
           f"(mode={idx.train_stats.get('train_mode', 'inram')})", flush=True)
     del sample
@@ -207,7 +208,8 @@ def phase_hostserve(args):
     dev_rows = json.loads((out / "device_sweep.json").read_text())
 
     t0 = time.time()
-    idx = IVFPQIndex.load(out / "index", storage="host")
+    idx = IVFPQIndex.load(out / "index", storage="host",
+                          scan_impl=args.scan_impl)
     print(f"host-mode load (mmap): {time.time()-t0:.1f}s", flush=True)
 
     nprobe = args.host_nprobe
@@ -242,7 +244,17 @@ def main():
     ap.add_argument("--host-nprobe", type=int, default=16)
     ap.add_argument("--rss-gb", type=float, default=2.0)
     ap.add_argument("--out", default="/tmp/astpu_scale8m")
+    ap.add_argument("--chunk-rows", type=int, default=None,
+                    help="override CH (CPU smoke runs)")
+    ap.add_argument("--pq-m", type=int, default=64)
+    ap.add_argument("--no-opq", action="store_true")
+    ap.add_argument("--kmeans-iters", type=int, default=6)
+    ap.add_argument("--scan-impl", default="slots",
+                    help="'map' for CPU smoke (interpret-mode pallas is slow)")
     args = ap.parse_args()
+    if args.chunk_rows:
+        global CH
+        CH = args.chunk_rows
     if args.phase == "build":
         phase_build(args)
     else:
