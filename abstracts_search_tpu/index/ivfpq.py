@@ -137,6 +137,11 @@ class IVFPQIndex:
         self.n = 0
         self.train_stats: dict = {}
         self._search_cache: dict = {}
+        # speculative scan shapes per (qn, nprobe): last-known (bucket,
+        # maxcnt) so the scan can dispatch before the probe's slot
+        # totals reach the host (see search())
+        self._spec_shapes: dict = {}
+        self._spec_window: dict = {}
         # single-flight guard: concurrent first-queries under a threaded
         # server must not compile the same (shape) program twice or race
         # the cache dict (VERDICT.md round-1 weak #6)
@@ -470,6 +475,8 @@ class IVFPQIndex:
         self._pq_cent_dev = jax.device_put(self.pq.centroids, repl)
         self._rot_dev = jax.device_put(self.rotation, repl)
         self._search_cache.clear()
+        self._spec_shapes.clear()
+        self._spec_window.clear()
 
     def _pick_hot_lists(self, packed: CSRLists) -> np.ndarray:
         """Largest lists first until the per-device HBM budget is spent
@@ -549,7 +556,10 @@ class IVFPQIndex:
         """Probe + per-device slot totals in ONE call: alongside the
         probes/bias/LUTs, each device reports how many live slots and
         the max per-query slot count its CSR implies — the only two
-        numbers the host needs to pick the scan's bucket shapes."""
+        numbers the host needs to pick the scan's bucket shapes. They
+        come back STACKED as one [2*ndev] array so the cold (no
+        speculative shape yet) path pays a single device->host sync,
+        not two — each sync is a full tunnel/PCIe round trip."""
         chunk, impl, K = self.chunk, self.impl, self.n_lists
         m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
 
@@ -569,13 +579,13 @@ class IVFPQIndex:
             )
             cnt = jnp.take(seg_cnt, probes.reshape(-1))
             percnt = jnp.sum(cnt.reshape(qn, nprobe), axis=1)
-            return (probes, bias, luts,
-                    jnp.sum(cnt)[None], jnp.max(percnt)[None])
+            stats = jnp.stack([jnp.sum(cnt), jnp.max(percnt)]).astype(jnp.int32)
+            return probes, bias, luts, stats
 
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(P(), P(), P(), P(), P(SHARD_AXIS)),
-            out_specs=(P(), P(), P(), P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=(P(), P(), P(), P(SHARD_AXIS)),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -680,8 +690,16 @@ class IVFPQIndex:
     def _build_scan(self, qn: int, k: int, nprobe: int, bucket: int, maxcnt: int):
         """Device mode: SPMD scan over the mesh-sharded lists, with the
         slot list derived ON DEVICE from the resident CSR (searchsorted
-        over the probe-count cumsum) — nothing but the two bucket
-        scalars ever crosses to the host between probe and scan."""
+        over the probe-count cumsum).
+
+        Returns (packed [2, Q, k] f32, stats [2*ndev] i32): values and
+        bitcast positions ride ONE device->host transfer, and stats
+        (per-device live-slot total, max per-query slot count) let the
+        host validate a SPECULATIVELY dispatched scan after the fact —
+        bucket >= total and maxcnt >= maxq mean no slot was dropped, so
+        the results are exact; otherwise the caller re-scans at the
+        right shape (rare: only when a batch needs more slots than any
+        recent one)."""
         seg = self.seg_size
         body = self._scan_body(qn, k, nprobe, self._adc_fn())
 
@@ -713,12 +731,15 @@ class IVFPQIndex:
 
             v, pos = body(slot_bias, live_slot, luts, data, row_ids,
                           seg_valid, seg_ids, q_ids, slots_of_q)
-            return merge_topk_all_gather(v, pos, k, SHARD_AXIS)
+            v, pos = merge_topk_all_gather(v, pos, k, SHARD_AXIS)
+            packed = jnp.stack([v, lax.bitcast_convert_type(pos, jnp.float32)])
+            stats = jnp.stack([total, jnp.max(percnt)]).astype(jnp.int32)
+            return packed, stats
 
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(P(), P(), P()) + (P(SHARD_AXIS),) * 5,
-            out_specs=(P(), P()),
+            out_specs=(P(), P(SHARD_AXIS)),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -766,34 +787,74 @@ class IVFPQIndex:
                 qn, k, nprobe, bucket, maxcnt,
             )
 
-        # device / hybrid: probe returns per-device slot totals; only
-        # those two tiny scalars cross to the host before the scan
+        # device / hybrid: the scan's slot shapes depend on the probed
+        # lists, but syncing the probe's slot totals before dispatching
+        # the scan costs a full host round trip per search. Steady-state
+        # query streams reuse shapes, so the scan is dispatched
+        # SPECULATIVELY at the last-known shape, chained behind the
+        # probe with no host sync, and validated from the stats the
+        # scan itself reports; a miss (this batch needs more slots than
+        # any recent one) re-scans at the right shape.
         probe_fn = self._cached_fn(
             ("probe_csr", qn, nprobe), lambda: self._build_probe_csr(qn, nprobe)
         )
-        probes, bias, luts, totals, maxqs = probe_fn(
+        probes, bias, luts, pstats = probe_fn(
             jnp.asarray(q), self._rot_dev, self._centroids_dev,
             self._pq_cent_dev, self._csr_dev[1],
         )
-        totals_h = np.asarray(totals)
-        bucket = bucket_size(int(totals_h.max()))
-        maxcnt = _next_pow2(int(np.asarray(maxqs).max()), lo=1)
+
+        def dispatch(bucket, maxcnt):
+            scan_fn = self._cached_fn(
+                ("scan", qn, k, nprobe, bucket, maxcnt),
+                lambda: self._build_scan(qn, k, nprobe, bucket, maxcnt),
+            )
+            return scan_fn(probes, bias, luts, *self._dev_arrays, *self._csr_dev)
+
+        key = (qn, nprobe)
+        spec = self._spec_shapes.get(key)
+        if spec is not None:
+            packed, sstats = dispatch(*spec)
+            stats_h = np.asarray(sstats).reshape(-1, 2)  # [ndev, (total, maxq)]
+            hit = (int(stats_h[:, 0].max()) <= spec[0]
+                   and int(stats_h[:, 1].max()) <= spec[1])
+        else:
+            stats_h = np.asarray(pstats).reshape(-1, 2)
+            hit = None
+        need_b = bucket_size(int(stats_h[:, 0].max()))
+        need_m = _next_pow2(int(stats_h[:, 1].max()), lo=1)
+        if hit:
+            bucket, maxcnt = spec
+        else:
+            bucket, maxcnt = need_b, need_m
+            packed, _ = dispatch(bucket, maxcnt)
+        # grow the speculative shape immediately; shrink only after a
+        # window of searches sustained the smaller need (avoids
+        # flapping between adjacent ladder steps)
+        if spec is None or need_b > spec[0] or need_m > spec[1]:
+            self._spec_shapes[key] = (need_b, need_m)
+            self._spec_window[key] = []
+        else:
+            w = self._spec_window.setdefault(key, [])
+            w.append((need_b, need_m))
+            if len(w) >= 16:
+                self._spec_shapes[key] = (max(x[0] for x in w),
+                                          max(x[1] for x in w))
+                w.clear()
+
         # scan-work accounting (work-proportionality is THE property of
         # this layout — benchmarks and tests read it back)
         self.last_scan_stats = {
             "bucket": int(bucket),
-            "live_slots": int(totals_h.sum()),
+            "live_slots": int(stats_h[:, 0].sum()),
             "maxcnt": int(maxcnt),
+            "spec": "cold" if hit is None else ("hit" if hit else "miss"),
         }
 
-        scan_fn = self._cached_fn(
-            ("scan", qn, k, nprobe, bucket, maxcnt),
-            lambda: self._build_scan(qn, k, nprobe, bucket, maxcnt),
-        )
-        v, pos = scan_fn(probes, bias, luts, *self._dev_arrays, *self._csr_dev)
+        out = np.asarray(packed)                 # the one result sync
+        v = out[0]
+        pos = out[1].view(np.int32).astype(np.int64)
         if self.storage == "hybrid":
-            # cold tail from the memmap while the hot scan runs on
-            # device (v/pos above are lazy jax arrays until read)
+            # cold tail from the memmap
             cs, cq, cp, csoq, cb, cm = self._build_slots(
                 np.asarray(probes), nprobe, self._cold_start_h, self._cold_cnt_h
             )
@@ -801,13 +862,12 @@ class IVFPQIndex:
             vc, pc = self._finish_host(
                 bias, luts, cs, cq, cp, csoq, qn, k, nprobe, cb, cm
             )
-            v, pos = np.asarray(v), np.asarray(pos, np.int64)
             av = np.concatenate([v, vc], axis=1)
             ap = np.concatenate([pos, pc], axis=1)
             sel = np.argsort(-av, axis=1, kind="stable")[:, :k]
             return (np.take_along_axis(av, sel, axis=1),
                     np.take_along_axis(ap, sel, axis=1))
-        return np.asarray(v), np.asarray(pos, np.int64)
+        return v, pos
 
     def _finish_host(self, bias, luts, seg_ids, q_ids, slot_pair, soq,
                      qn, k, nprobe, bucket, maxcnt):

@@ -149,3 +149,38 @@ def test_ivfpq_memory_budget(rng):
     # CSR metadata is O(n_lists), not O(n_lists * max_segs)
     assert idx.packed.seg_start.shape == (8,)
     assert idx.packed.seg_cnt.shape == (8,)
+
+
+def test_speculative_scan_equivalence(rng):
+    """The speculatively dispatched scan (shape from a previous search)
+    must return exactly the non-speculative results, including after a
+    forced mispredict (spec shape too small -> validated, re-scanned)."""
+    n, d = 3000, 16
+    x = _normed(rng, n, d)
+    q = _queries_near(rng, x, 12, noise=0.05)
+    idx = IVFPQIndex(16, d, pq_m=4, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0,
+                     scan_impl="map")
+    idx.train(x, kmeans_iters=4, pq_iters=4)
+    idx.fill(x)
+
+    v0, p0 = idx.search(q, 5, nprobe=4)
+    assert idx.last_scan_stats["spec"] == "cold"
+    v1, p1 = idx.search(q, 5, nprobe=4)
+    assert idx.last_scan_stats["spec"] == "hit"
+    np.testing.assert_array_equal(p0, p1)
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+
+    # force a mispredict: pretend the last batch needed almost nothing
+    idx._spec_shapes[(12, 4)] = (8, 1)
+    v2, p2 = idx.search(q, 5, nprobe=4)
+    assert idx.last_scan_stats["spec"] == "miss"
+    np.testing.assert_array_equal(p0, p2)
+    np.testing.assert_allclose(v0, v2, rtol=1e-6)
+    # the miss re-learned the real shape
+    assert idx._spec_shapes[(12, 4)][0] >= idx.last_scan_stats["bucket"]
+
+    # a different batch size is a separate speculative entry
+    v3, p3 = idx.search(q[:4], 5, nprobe=4)
+    assert idx.last_scan_stats["spec"] == "cold"
+    np.testing.assert_array_equal(p3, p0[:4])
