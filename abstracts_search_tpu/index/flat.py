@@ -74,8 +74,12 @@ class FlatIndex:
         padded = per * self.ndev
         buf = np.zeros((padded, d), dtype=np.float32)
         buf[:n] = vectors
-        x = jnp.asarray(buf, dtype=self.dtype)
-        self._x = jax.device_put(x, corpus_sharding(self.mesh))
+        from ..parallel.mesh import global_put
+
+        # host-side cast (bf16 via ml_dtypes) so the multi-controller
+        # install path can slice a plain numpy array per local shard
+        x = buf.astype(np.dtype(self.dtype), copy=False)
+        self._x = global_put(x, self.mesh, P(SHARD_AXIS))
         self.n = n
         self._per = per
         self._search_cache.clear()

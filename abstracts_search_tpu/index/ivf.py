@@ -31,7 +31,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.topk import streaming_topk
-from ..parallel.mesh import SHARD_AXIS, build_mesh
+from ..parallel.mesh import SHARD_AXIS, build_mesh, global_put
 from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
 from .lists import (
@@ -140,16 +140,13 @@ class IVFFlatIndex:
         self.packed = packed
         self.n = packed.n_rows
         shards = shard_lists(packed, self.ndev)
-        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
         self._dev_arrays = tuple(
-            jax.device_put(a, shard)
+            global_put(a, self.mesh, P(SHARD_AXIS))
             for a in (shards.data, shards.row_ids, shards.seg_valid)
         )
         self._seg_start_h = shards.seg_start.astype(np.int64)
         self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
-        self._centroids_dev = jax.device_put(
-            self._padded_centroids(), NamedSharding(self.mesh, P())
-        )
+        self._centroids_dev = global_put(self._padded_centroids(), self.mesh)
         self._search_cache.clear()
 
     def _padded_centroids(self) -> np.ndarray:
@@ -262,10 +259,10 @@ class IVFFlatIndex:
             ("scan", qn, k, bucket, maxcnt),
             lambda: self._build_scan(qn, k, bucket, maxcnt),
         )
-        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
         v, pos = scan_fn(
             jnp.asarray(q), *self._dev_arrays,
-            jax.device_put(seg_ids, shard), jax.device_put(soq, shard),
+            global_put(seg_ids, self.mesh, P(SHARD_AXIS)),
+            global_put(soq, self.mesh, P(SHARD_AXIS)),
         )
         return np.asarray(v), np.asarray(pos, np.int64)
 

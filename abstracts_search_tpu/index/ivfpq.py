@@ -47,7 +47,7 @@ from jax import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..ops.topk import streaming_topk
-from ..parallel.mesh import SHARD_AXIS, build_mesh
+from ..parallel.mesh import SHARD_AXIS, build_mesh, global_put
 from ..parallel.topk_merge import merge_topk_all_gather
 from .kmeans import KMeans, _normalize_rows, _round_up
 from .lists import (
@@ -453,7 +453,6 @@ class IVFPQIndex:
     def _install(self, packed: CSRLists) -> None:
         self.packed = packed
         self.n = packed.n_rows
-        repl = NamedSharding(self.mesh, P())
         if self.storage == "device":
             self._install_device(packed, hot_mask=None)
             self._cold_start_h = self._cold_cnt_h = None
@@ -471,9 +470,9 @@ class IVFPQIndex:
             self._seg_start_h = packed.seg_start[None].astype(np.int64)  # [1, L]
             self._seg_cnt_h = packed.seg_cnt[None].astype(np.int64)
             self._cold_start_h = self._cold_cnt_h = None
-        self._centroids_dev = jax.device_put(self._padded_centroids(), repl)
-        self._pq_cent_dev = jax.device_put(self.pq.centroids, repl)
-        self._rot_dev = jax.device_put(self.rotation, repl)
+        self._centroids_dev = global_put(self._padded_centroids(), self.mesh)
+        self._pq_cent_dev = global_put(self.pq.centroids, self.mesh)
+        self._rot_dev = global_put(self.rotation, self.mesh)
         self._search_cache.clear()
         self._spec_shapes.clear()
         self._spec_window.clear()
@@ -503,15 +502,14 @@ class IVFPQIndex:
                 n_rows=packed.n_rows,
             )
         shards = shard_lists(view, self.ndev)
-        shard = NamedSharding(self.mesh, P(SHARD_AXIS))
         self._dev_arrays = tuple(
-            jax.device_put(a, shard)
+            global_put(a, self.mesh, P(SHARD_AXIS))
             for a in (shards.data, shards.row_ids, shards.seg_valid)
         )
         # CSR resident on device too: the scan derives its slot list
         # in-jit, so no slot arrays ever upload per batch
         self._csr_dev = tuple(
-            jax.device_put(a.astype(np.int32), shard)
+            global_put(a.astype(np.int32), self.mesh, P(SHARD_AXIS))
             for a in (shards.seg_start, shards.seg_cnt)
         )
         # host-side CSR per device, for the hybrid cold path + stats

@@ -220,10 +220,9 @@ class KMeans:
         # wastes host<->device bandwidth. Batches are row-sharded over the
         # mesh; when the sample exceeds the device budget we keep (source,
         # lo, hi) references and stream windows each iteration instead.
-        from ..parallel.mesh import corpus_sharding
+        from ..parallel.mesh import global_put
 
         on_device = n_total * dim * 4 <= self.DEVICE_BUDGET_BYTES * self.ndev
-        shard = corpus_sharding(self.mesh)
 
         def load_window(src, lo, hi):
             x = np.asarray(src[lo:hi], np.float32)
@@ -237,8 +236,9 @@ class KMeans:
                 steps[per] = self._build_step(per, dim)
             if on_device:
                 x, valid = self._pad_batch(load_window(src, lo, hi))
-                staged.append((jax.device_put(x, shard),
-                               jax.device_put(valid, shard), steps[per]))
+                staged.append((global_put(x, self.mesh, P(SHARD_AXIS)),
+                               global_put(valid, self.mesh, P(SHARD_AXIS)),
+                               steps[per]))
             else:
                 staged.append(((src, lo, hi), None, steps[per]))
 

@@ -152,17 +152,15 @@ class ProductQuantizer:
 
         # stage padded batches on device when they fit (same rationale as
         # KMeans.fit: don't re-upload the sample every Lloyd iteration)
-        from ..parallel.mesh import corpus_sharding
-        import jax as _jax
+        from ..parallel.mesh import global_put
 
-        shard = corpus_sharding(self.mesh)
         on_device = x.nbytes <= (4 << 30) * self.ndev
         staged = []
         for lo in range(0, n, batch_rows):
             xp, valid = self._pad_rows(x[lo : lo + batch_rows])
             if on_device:
-                xp = _jax.device_put(xp, shard)
-                valid = _jax.device_put(valid, shard)
+                xp = global_put(xp, self.mesh, P(SHARD_AXIS))
+                valid = global_put(valid, self.mesh, P(SHARD_AXIS))
             staged.append((xp, valid))
 
         errs = []

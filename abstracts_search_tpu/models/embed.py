@@ -63,7 +63,9 @@ class EmbeddingPipeline:
             # batch-sharded over `shard` either way
             pshard = (param_shardings if param_shardings is not None
                       else jax.tree.map(lambda _: repl, params))
-            self.params = jax.device_put(params, pshard)
+            from ..parallel.mesh import global_put_with_sharding
+
+            self.params = jax.tree.map(global_put_with_sharding, params, pshard)
             self._apply = jax.jit(
                 self.model.apply,
                 in_shardings=(pshard, data_sharding, data_sharding),

@@ -63,6 +63,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def global_put_with_sharding(x, sharding):
+    """device_put that also works on a multi-controller (multi-host)
+    mesh, where `jax.device_put` rejects shardings that span
+    non-addressable devices. Every process passes the same host array
+    (each host reads the shared artifact) and materializes only its
+    addressable shards via `make_array_from_callback`; single-process
+    meshes take the plain device_put fast path. (SURVEY.md §5
+    distributed-communication; serving a 207M-row index across hosts
+    installs the packed lists through here.)"""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def global_put(x: np.ndarray, mesh: Mesh, spec: P = P()):
+    return global_put_with_sharding(x, NamedSharding(mesh, spec))
+
+
 def shard_rows(x: np.ndarray, mesh: Mesh, *, pad_value: float = 0.0):
     """Pad rows to a multiple of the shard axis size and device_put sharded.
 
@@ -76,4 +95,4 @@ def shard_rows(x: np.ndarray, mesh: Mesh, *, pad_value: float = 0.0):
     if padded != n:
         pad = np.full((padded - n,) + x.shape[1:], pad_value, dtype=x.dtype)
         x = np.concatenate([x, pad], axis=0)
-    return jax.device_put(x, corpus_sharding(mesh)), n
+    return global_put(x, mesh, P(SHARD_AXIS)), n

@@ -47,3 +47,23 @@ def test_sharded_forward_matches_replicated():
     params_sh = jax.device_put(params, shardings)
     out = np.asarray(jax.jit(model.apply)(params_sh, ids, mask))
     np.testing.assert_allclose(out, base, atol=1e-5)
+
+
+def test_global_put_callback_path_matches_device_put():
+    """The multi-controller install path (make_array_from_callback) must
+    produce the same sharded array as plain device_put; exercised here
+    single-process by calling the callback path directly."""
+    import jax
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from abstracts_search_tpu.parallel.mesh import SHARD_AXIS, build_mesh
+
+    mesh = build_mesh()
+    x = np.arange(8 * 6, dtype=np.float32).reshape(8, 6)
+    for spec in (P(SHARD_AXIS), P()):
+        sh = NamedSharding(mesh, spec)
+        a = jax.device_put(x, sh)
+        b = jax.make_array_from_callback(x.shape, sh, lambda idx: x[idx])
+        assert a.sharding == b.sharding
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
