@@ -232,18 +232,30 @@ def pack_lists_external(
     seg_size: int,
     out_dir: str | Path,
     slab_rows: int = 1 << 18,
+    bucket_bytes: int = 1 << 30,
 ) -> CSRLists:
     """External-memory pack: write the CSR artifact directly to
     ``out_dir`` (the `save_lists` layout) without ever holding the
-    payloads in RAM.
+    payloads in RAM (the 207M-row fill path, VERDICT.md round-1 missing
+    #3: the reference fills on a 16 GB machine).
 
-    ``payloads``/``positions`` may be np.memmap over spill files (the
-    207M-row fill path, VERDICT.md round-1 missing #3: the reference
-    fills on a 16 GB machine); only ``assignments`` plus an O(N) int64
-    sort permutation live in RAM (~2.5 GB at 207M rows). The write
-    pattern is sequential (destinations are non-decreasing in sorted
-    order because segments of a list are contiguous); reads are random
-    through the OS page cache.
+    ``payloads``/``positions`` may be np.memmap over spill files. Small
+    inputs (payload <= ``bucket_bytes``) take a one-pass sorted-scatter.
+    Bigger inputs use a two-pass bucketed distribution sort so every
+    file access is SEQUENTIAL and RAM stays O(bucket_bytes):
+
+      pass 1: stream the spill once, appending each row to the spill
+              file of its list-id *bucket* (contiguous list ranges cut
+              so each bucket holds ~bucket_bytes of payload);
+      pass 2: per bucket, load its rows (fits RAM by construction),
+              pack in RAM, and write that bucket's contiguous artifact
+              range (lists are laid out in id order, so a list range
+              owns a contiguous segment range).
+
+    The one-pass path's O(N log N) argsort + random spill reads would
+    thrash the page cache exactly when the corpus is big; the
+    distribution sort replaces them with O(N) sequential I/O. (A single
+    list larger than bucket_bytes degrades that bucket to its size.)
     """
     n = len(assignments)
     assignments = np.asarray(assignments, np.int64)
@@ -257,6 +269,7 @@ def pack_lists_external(
 
     payload_shape = tuple(payloads.shape[1:])
     pdtype = payloads.dtype
+    rowbytes = int(np.prod(payload_shape, dtype=np.int64)) * pdtype.itemsize
     data_mm = np.memmap(out_dir / "codes.bin", dtype=pdtype, mode="w+",
                         shape=(n_segs, seg_size) + payload_shape)
     row_mm = np.memmap(out_dir / "row_ids.bin", dtype=np.int32, mode="w+",
@@ -265,18 +278,15 @@ def pack_lists_external(
     for lo in range(0, n_segs, max(1, slab_rows // seg_size)):
         row_mm[lo : lo + max(1, slab_rows // seg_size)] = -1
 
-    if n:
-        order = np.argsort(assignments, kind="stable")
-        row_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
-        data_flat = data_mm.reshape((-1,) + payload_shape)
-        row_flat = row_mm.reshape(-1)
-        for lo in range(0, n, slab_rows):
-            sel = order[lo : lo + slab_rows]
-            sl = assignments[sel]
-            rank = (lo + np.arange(len(sel), dtype=np.int64)) - row_start[sl]
-            dest = seg_start[sl] * seg_size + rank
-            data_flat[dest] = payloads[sel]
-            row_flat[dest] = np.asarray(positions[sel], np.int64)
+    if n and n * rowbytes <= bucket_bytes:
+        _pack_sorted_scatter(payloads, positions, assignments, counts,
+                             seg_start, seg_size, data_mm, row_mm,
+                             payload_shape, slab_rows)
+    elif n:
+        _pack_distribution(payloads, positions, assignments, counts,
+                           seg_cnt, seg_start, n_lists, seg_size, data_mm,
+                           row_mm, payload_shape, pdtype, rowbytes,
+                           slab_rows, bucket_bytes, out_dir)
     data_mm.flush()
     row_mm.flush()
     del data_mm, row_mm
@@ -295,6 +305,89 @@ def pack_lists_external(
         "payload_dtype": str(pdtype),
     }))
     return load_lists(out_dir, mmap=True)
+
+
+def _pack_sorted_scatter(payloads, positions, assignments, counts, seg_start,
+                         seg_size, data_mm, row_mm, payload_shape, slab_rows):
+    """One-pass path: argsort by list, scatter slabs. Destinations are
+    non-decreasing in sorted order (segments of a list are contiguous),
+    so artifact writes are sequential; spill reads are random."""
+    n = len(assignments)
+    order = np.argsort(assignments, kind="stable")
+    row_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    data_flat = data_mm.reshape((-1,) + payload_shape)
+    row_flat = row_mm.reshape(-1)
+    for lo in range(0, n, slab_rows):
+        sel = order[lo : lo + slab_rows]
+        sl = assignments[sel]
+        rank = (lo + np.arange(len(sel), dtype=np.int64)) - row_start[sl]
+        dest = seg_start[sl] * seg_size + rank
+        data_flat[dest] = payloads[sel]
+        row_flat[dest] = np.asarray(positions[sel], np.int64)
+
+
+def _pack_distribution(payloads, positions, assignments, counts, seg_cnt,
+                       seg_start, n_lists, seg_size, data_mm, row_mm,
+                       payload_shape, pdtype, rowbytes, slab_rows,
+                       bucket_bytes, out_dir):
+    import shutil
+    import tempfile
+
+    n = len(assignments)
+    bucket_rows = max(1, bucket_bytes // max(rowbytes, 1))
+    # cut list-id space into contiguous ranges of <= bucket_rows rows
+    cum_rows = np.cumsum(counts)
+    bounds = [0]
+    while bounds[-1] < n_lists:
+        lo = bounds[-1]
+        base = cum_rows[lo - 1] if lo else 0
+        hi = int(np.searchsorted(cum_rows, base + bucket_rows, side="right"))
+        bounds.append(max(hi, lo + 1))  # a mega-list still advances
+    bounds = np.asarray(bounds, np.int64)
+    n_buckets = len(bounds) - 1
+    bucket_of_list = np.searchsorted(bounds, np.arange(n_lists), side="right") - 1
+
+    tmp = Path(tempfile.mkdtemp(prefix="astpu_pack_", dir=out_dir.parent))
+    try:
+        files = [
+            (open(tmp / f"p{b}", "wb"), open(tmp / f"r{b}", "wb"),
+             open(tmp / f"a{b}", "wb"))
+            for b in range(n_buckets)
+        ]
+        # pass 1: sequential spill scan, sequential per-bucket appends
+        for lo in range(0, n, slab_rows):
+            a = assignments[lo : lo + slab_rows]
+            pay = np.asarray(payloads[lo : lo + slab_rows])
+            pos = np.asarray(positions[lo : lo + slab_rows], np.int64)
+            ab = bucket_of_list[a]
+            for b in np.unique(ab):
+                m = ab == b
+                pf, rf, af = files[b]
+                np.ascontiguousarray(pay[m]).tofile(pf)
+                pos[m].tofile(rf)
+                a[m].tofile(af)
+        for pf, rf, af in files:
+            pf.close(); rf.close(); af.close()
+
+        # pass 2: per bucket, in-RAM pack into the bucket's contiguous
+        # artifact range (list ranges own contiguous segment ranges)
+        for b in range(n_buckets):
+            l0, l1 = int(bounds[b]), int(bounds[b + 1])
+            nb = int(counts[l0:l1].sum())
+            if nb == 0:
+                continue
+            pay = np.fromfile(tmp / f"p{b}", dtype=pdtype).reshape(
+                (nb,) + payload_shape)
+            pos = np.fromfile(tmp / f"r{b}", dtype=np.int64)
+            a = np.fromfile(tmp / f"a{b}", dtype=np.int64) - l0
+            s0, s1 = int(seg_start[l0]), int(seg_start[l1 - 1] + seg_cnt[l1 - 1])
+            local = pack_lists(
+                pay, pos, a, l1 - l0, seg_size=seg_size,
+                data_out=data_mm[s0:s1], row_ids_out=row_mm[s0:s1],
+            )
+            assert local.n_segs == s1 - s0 or (s1 == s0 and local.n_segs == 1)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # -- on-disk format (the ondisk.ivfdata analog) -----------------------------------

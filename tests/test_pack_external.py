@@ -66,3 +66,43 @@ def test_prefetch_iterator_order_and_errors():
     import pytest
     with pytest.raises(ValueError, match="boom"):
         next(it)
+
+
+def test_pack_distribution_sort_matches_inram(tmp_path, rng):
+    """Force the two-pass bucketed external sort (bucket_bytes small) and
+    require bit-identical artifacts vs the in-RAM pack — including
+    zipfian list sizes and a mega-list bigger than a bucket."""
+    import tracemalloc
+
+    n, m, n_lists, seg = 60_000, 8, 96, 32
+    codes = rng.integers(0, 255, (n, m), dtype=np.uint8)
+    pos = rng.permutation(n).astype(np.int64)
+    p = 1 / np.arange(1, n_lists + 1) ** 1.2
+    assign = rng.choice(n_lists, n, p=p / p.sum()).astype(np.int64)
+
+    ref = pack_lists(codes, pos, assign, n_lists, seg_size=seg)
+
+    codes_f = tmp_path / "codes.u8"
+    codes.tofile(codes_f)
+    codes_mm = np.memmap(codes_f, dtype=np.uint8, mode="r", shape=(n, m))
+
+    tracemalloc.start()
+    got = pack_lists_external(
+        codes_mm, pos, assign, n_lists, seg_size=seg,
+        out_dir=tmp_path / "lists", slab_rows=4096,
+        bucket_bytes=32_768,  # ~4k rows/bucket; list 0 alone is bigger
+    )
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+
+    np.testing.assert_array_equal(np.asarray(got.data), ref.data)
+    np.testing.assert_array_equal(np.asarray(got.row_ids), ref.row_ids)
+    np.testing.assert_array_equal(got.seg_valid, ref.seg_valid)
+    np.testing.assert_array_equal(got.seg_start, ref.seg_start)
+    np.testing.assert_array_equal(got.seg_cnt, ref.seg_cnt)
+    # RAM scales with the largest bucket (the zipf-hot mega-list: its
+    # payload + ~64 B/row of pack index temporaries), never the corpus
+    hot_rows = int(np.bincount(assign, minlength=n_lists).max())
+    assert peak < 90 * hot_rows + 300_000, (peak, hot_rows)
+    # no leftover bucket spill dirs
+    assert not list(tmp_path.glob("astpu_pack_*"))
