@@ -20,12 +20,19 @@ of each probed list — SURVEY.md §2 #11; the round-1 padded
 
   1. probe (jit): rotate queries, streaming top-nprobe over centroids,
      exact f32 bias q . c_list, residual LUTs — one MXU einsum each.
-  2. host: expand probed lists through the CSR (seg_start/seg_cnt) into
-     a flat slot list — exactly sum(seg_cnt[probed]) live slots, padded
-     only to the batch's slot bucket (a ~1.25x geometric ladder).
-  3. scan (jit, shard_map): Pallas ADC over the slot list (per-slot
-     scalar-prefetched segment + LUT ids), per-slot top-k, ragged
-     per-query merge via a slot table, all-gather top-k over ICI.
+  2. scan (jit, shard_map): the flat slot list — exactly
+     sum(seg_cnt[probed]) live slots, padded only to a slot bucket on a
+     ~1.25x geometric ladder — is derived ON DEVICE from the resident
+     CSR (searchsorted over the probe-count cumsum); Pallas ADC over
+     the slots (per-slot scalar-prefetched segment + LUT ids), per-slot
+     top-k, ragged per-query merge, all-gather top-k over ICI.
+
+The scan's bucket shape is data-dependent, so it is dispatched
+SPECULATIVELY at the last-known shape for the (batch, nprobe) key —
+chained behind the probe with no host round trip — and validated from
+stats the scan itself reports; steady-state search costs 2 host syncs
+total (results + stats). Host/hybrid storage instead expands the slot
+list host-side and gathers probed segments from the memmap.
 
 Memory: M=64, nbits=8 at 1024 dims = 64 B/vector + 4 B position =
 ~14 GB for the 207M corpus across a mesh — the released-index budget
