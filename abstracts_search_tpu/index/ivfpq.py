@@ -697,14 +697,16 @@ class IVFPQIndex:
         slot list derived ON DEVICE from the resident CSR (searchsorted
         over the probe-count cumsum).
 
-        Returns (packed [2, Q, k] f32, stats [2*ndev] i32): values and
-        bitcast positions ride ONE device->host transfer, and stats
-        (per-device live-slot total, max per-query slot count) let the
-        host validate a SPECULATIVELY dispatched scan after the fact —
-        bucket >= total and maxcnt >= maxq mean no slot was dropped, so
-        the results are exact; otherwise the caller re-scans at the
-        right shape (rare: only when a batch needs more slots than any
-        recent one)."""
+        Returns ONE flat f32 array [2*Q*k + 2*ndev]: values, bitcast
+        positions, and bitcast per-device stats (live-slot total, max
+        per-query slot count; all_gathered so they replicate into the
+        same output). A single device->host transfer then carries both
+        the results and what the host needs to validate a SPECULATIVELY
+        dispatched scan after the fact — bucket >= total and maxcnt >=
+        maxq mean no slot was dropped, so the results are exact;
+        otherwise the caller re-scans at the right shape (rare: only
+        when a batch needs more slots than any recent one). Steady-state
+        search = probe dispatch + scan dispatch + ONE host sync."""
         seg = self.seg_size
         body = self._scan_body(qn, k, nprobe, self._adc_fn())
 
@@ -737,14 +739,18 @@ class IVFPQIndex:
             v, pos = body(slot_bias, live_slot, luts, data, row_ids,
                           seg_valid, seg_ids, q_ids, slots_of_q)
             v, pos = merge_topk_all_gather(v, pos, k, SHARD_AXIS)
-            packed = jnp.stack([v, lax.bitcast_convert_type(pos, jnp.float32)])
             stats = jnp.stack([total, jnp.max(percnt)]).astype(jnp.int32)
-            return packed, stats
+            stats = lax.all_gather(stats, SHARD_AXIS)            # [ndev, 2]
+            return jnp.concatenate([
+                v.reshape(-1),
+                lax.bitcast_convert_type(pos, jnp.float32).reshape(-1),
+                lax.bitcast_convert_type(stats, jnp.float32).reshape(-1),
+            ])
 
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(P(), P(), P()) + (P(SHARD_AXIS),) * 5,
-            out_specs=(P(), P(SHARD_AXIS)),
+            out_specs=P(),
             check_vma=False,
         )
         return jax.jit(fn)
@@ -815,11 +821,19 @@ class IVFPQIndex:
             )
             return scan_fn(probes, bias, luts, *self._dev_arrays, *self._csr_dev)
 
+        qk = qn * k
+
+        def unpack(flat):
+            flat = np.asarray(flat)              # the ONE host sync
+            v = flat[:qk].reshape(qn, k)
+            pos = flat[qk:2 * qk].view(np.int32).astype(np.int64).reshape(qn, k)
+            stats = flat[2 * qk:].view(np.int32).reshape(-1, 2)
+            return v, pos, stats                 # stats: [ndev, (total, maxq)]
+
         key = (qn, nprobe)
         spec = self._spec_shapes.get(key)
         if spec is not None:
-            packed, sstats = dispatch(*spec)
-            stats_h = np.asarray(sstats).reshape(-1, 2)  # [ndev, (total, maxq)]
+            v, pos, stats_h = unpack(dispatch(*spec))
             hit = (int(stats_h[:, 0].max()) <= spec[0]
                    and int(stats_h[:, 1].max()) <= spec[1])
         else:
@@ -831,7 +845,7 @@ class IVFPQIndex:
             bucket, maxcnt = spec
         else:
             bucket, maxcnt = need_b, need_m
-            packed, _ = dispatch(bucket, maxcnt)
+            v, pos, stats_h = unpack(dispatch(bucket, maxcnt))
         # grow the speculative shape immediately; shrink only after a
         # window of searches sustained the smaller need (avoids
         # flapping between adjacent ladder steps)
@@ -855,9 +869,6 @@ class IVFPQIndex:
             "spec": "cold" if hit is None else ("hit" if hit else "miss"),
         }
 
-        out = np.asarray(packed)                 # the one result sync
-        v = out[0]
-        pos = out[1].view(np.int32).astype(np.int64)
         if self.storage == "hybrid":
             # cold tail from the memmap
             cs, cq, cp, csoq, cb, cm = self._build_slots(
