@@ -741,10 +741,16 @@ class IVFPQIndex:
             v, pos = merge_topk_all_gather(v, pos, k, SHARD_AXIS)
             stats = jnp.stack([total, jnp.max(percnt)]).astype(jnp.int32)
             stats = lax.all_gather(stats, SHARD_AXIS)            # [ndev, 2]
+            # the fused transfer rides int32, NOT f32: positions/stats
+            # are small ints whose f32 bit patterns are denormals, and
+            # the TPU vector units flush denormals to zero in copies/
+            # fusions (silent corruption on chip; CPU preserves them, so
+            # only on-chip runs see it). Bitcasting the f32 VALUES to
+            # int32 instead is lossless — integer lanes never flush.
             return jnp.concatenate([
-                v.reshape(-1),
-                lax.bitcast_convert_type(pos, jnp.float32).reshape(-1),
-                lax.bitcast_convert_type(stats, jnp.float32).reshape(-1),
+                lax.bitcast_convert_type(v, jnp.int32).reshape(-1),
+                pos.reshape(-1),
+                stats.reshape(-1),
             ])
 
         fn = shard_map(
@@ -824,10 +830,10 @@ class IVFPQIndex:
         qk = qn * k
 
         def unpack(flat):
-            flat = np.asarray(flat)              # the ONE host sync
-            v = flat[:qk].reshape(qn, k)
-            pos = flat[qk:2 * qk].view(np.int32).astype(np.int64).reshape(qn, k)
-            stats = flat[2 * qk:].view(np.int32).reshape(-1, 2)
+            flat = np.asarray(flat)              # the ONE host sync (int32)
+            v = flat[:qk].view(np.float32).reshape(qn, k)
+            pos = flat[qk:2 * qk].astype(np.int64).reshape(qn, k)
+            stats = flat[2 * qk:].reshape(-1, 2)
             return v, pos, stats                 # stats: [ndev, (total, maxq)]
 
         key = (qn, nprobe)
