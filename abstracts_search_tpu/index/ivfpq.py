@@ -317,7 +317,10 @@ class IVFPQIndex:
             dots = jnp.einsum("nmd,mkd->nmk", r3, pqc,
                               preferred_element_type=jnp.float32)
             c2 = jnp.sum(jnp.square(pqc), axis=-1)          # [M, ksub]
-            codes = jnp.argmin(c2[None] - 2.0 * dots, axis=-1).astype(jnp.int32)
+            # uint8 on DEVICE: codes cross host<->device once per chunk,
+            # and an int32 argmin result would ship 4x the bytes (the
+            # fill stage is link-bound, not compute-bound).
+            codes = jnp.argmin(c2[None] - 2.0 * dots, axis=-1).astype(jnp.uint8)
             return a, codes
 
         fn = shard_map(
