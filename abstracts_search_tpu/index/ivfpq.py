@@ -229,62 +229,140 @@ class IVFPQIndex:
         import shutil
         import tempfile
 
-        from .opq import _rotate
-
         n, dim = sample.shape
         rng = np.random.default_rng(self.seed)
 
-        # 1) OPQ on an in-RAM sub-sample
+        # 1) OPQ on an in-RAM sub-sample (OPQ stages it on the mesh once
+        # and trains fully device-resident; keep_staged lets step 4 reuse
+        # the staged rows for residual PQ training with no re-upload)
         sub_idx = np.sort(rng.choice(n, min(self.PQ_TRAIN_ROWS, n), replace=False))
         sub = np.asarray(sample[sub_idx], np.float32)
         if self.spherical:
             sub = _normalize_rows(sub)
         if self.use_opq:
-            self.opq.train(sub, outer_iters=opq_iters, pq_iters=max(4, pq_iters // 2))
+            self.opq.train(sub, outer_iters=opq_iters,
+                           pq_iters=max(4, pq_iters // 2), keep_staged=True)
             self.rotation = self.opq.rotation
 
-        # 2) rotate (+normalize) the FULL sample into a disk memmap,
-        # chunked through the device — the MXU does the matmul, the host
-        # only ever holds one chunk
-        owns_workdir = workdir is None
-        workdir = Path(tempfile.mkdtemp(prefix="astpu_train_")) if owns_workdir \
-            else Path(workdir)
-        workdir.mkdir(parents=True, exist_ok=True)
-        rot_path = workdir / "train_rot.f32"
-        try:
-            xr_mm = np.memmap(rot_path, dtype=np.float32, mode="w+", shape=(n, dim))
-            rotj = jnp.asarray(self.rotation)
-            fn = jax.jit(
-                lambda x, r: jnp.dot(x, r, preferred_element_type=jnp.float32)
-            )
-            step = 1 << 18
-            for lo in range(0, n, step):
-                xc = np.asarray(sample[lo : lo + step], np.float32)
-                if self.spherical:  # rotation is orthogonal: norms persist
-                    xc = _normalize_rows(xc)
-                xr_mm[lo : lo + step] = np.asarray(fn(jnp.asarray(xc), rotj))
-            xr_mm.flush()
+        # 2+3) coarse k-means over the full sample. Two bounded modes:
+        #  - "device": the sample fits the mesh's HBM budget — upload it
+        #    ONCE, rotate on device, Lloyd-iterate on device-resident
+        #    rows (nothing sample-sized ever crosses the link again).
+        #  - "streamed": too big for HBM (the 10M-row/40 GB production
+        #    sample) — rotate chunk-wise into a disk memmap and re-read
+        #    it every Lloyd iteration; host RSS stays O(chunk).
+        device_fit = (
+            not isinstance(sample, np.memmap)
+            and n * dim * 4 <= KMeans.DEVICE_BUDGET_BYTES * self.ndev
+        )
+        if device_fit:
+            self._kmeans_device_resident(sample, kmeans_iters=kmeans_iters)
+            mode = "device"
+        else:
+            owns_workdir = workdir is None
+            workdir = Path(tempfile.mkdtemp(prefix="astpu_train_")) if owns_workdir \
+                else Path(workdir)
+            workdir.mkdir(parents=True, exist_ok=True)
+            rot_path = workdir / "train_rot.f32"
+            try:
+                xr_mm = np.memmap(rot_path, dtype=np.float32, mode="w+",
+                                  shape=(n, dim))
+                rotj = jnp.asarray(self.rotation)
+                fn = jax.jit(
+                    lambda x, r: jnp.dot(x, r, preferred_element_type=jnp.float32)
+                )
+                step = 1 << 18
+                for lo in range(0, n, step):
+                    xc = np.asarray(sample[lo : lo + step], np.float32)
+                    if self.spherical:  # rotation is orthogonal: norms persist
+                        xc = _normalize_rows(xc)
+                    xr_mm[lo : lo + step] = np.asarray(fn(jnp.asarray(xc), rotj))
+                xr_mm.flush()
+                # rows are unit: an orthogonal rotation preserves norms
+                self.kmeans.fit(xr_mm, iters=kmeans_iters, prenormalized=True)
+            finally:
+                del xr_mm
+                if owns_workdir:
+                    shutil.rmtree(workdir, ignore_errors=True)
+                else:
+                    rot_path.unlink(missing_ok=True)
+            mode = "streamed"
 
-            # 3) k-means streams the rotated memmap (rows are unit: an
-            # orthogonal rotation preserves norms)
-            self.kmeans.fit(xr_mm, iters=kmeans_iters, prenormalized=True)
-
-            # 4) PQ on sub-sample residuals
-            sub_r = _rotate(sub, self.rotation)
-            _, assign = self.kmeans.assign(sub_r)
-            residuals = sub_r - self.kmeans.centroids[assign]
-            self.pq.train(residuals, iters=pq_iters)
-        finally:
-            del xr_mm
-            if owns_workdir:
-                shutil.rmtree(workdir, ignore_errors=True)
-            else:
-                rot_path.unlink(missing_ok=True)
+        # 4) PQ on sub-sample residuals, computed on device
+        self._train_pq_residuals(sub, pq_iters=pq_iters)
 
         self._finish_train_stats()
-        self.train_stats["train_mode"] = "streamed"
+        self.train_stats["train_mode"] = mode
         self.train_stats["pq_train_rows"] = int(len(sub))
         return self.train_stats
+
+    def _stage_rows(self, x: np.ndarray):
+        """Pad rows to the mesh and install: -> (xj [total, D] sharded,
+        valid [total, 1] sharded, n)."""
+        from ..parallel.mesh import global_put
+
+        n = len(x)
+        per = _round_up(_round_up(n, self.ndev) // self.ndev, 8)
+        total = per * self.ndev
+        xp = x if total == n else np.concatenate(
+            [x, np.zeros((total - n, x.shape[1]), x.dtype)])
+        valid = np.zeros((total, 1), np.float32)
+        valid[:n] = 1.0
+        return (global_put(xp, self.mesh, P(SHARD_AXIS)),
+                global_put(valid, self.mesh, P(SHARD_AXIS)), n)
+
+    def _kmeans_device_resident(self, sample, *, kmeans_iters):
+        spherical = self.spherical
+
+        def local_rot(xs, r):
+            if spherical:
+                xs = xs / jnp.maximum(
+                    jnp.linalg.norm(xs, axis=1, keepdims=True), 1e-12)
+            return jnp.dot(xs, r, preferred_element_type=jnp.float32)
+
+        rot_fn = jax.jit(shard_map(
+            local_rot, mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P()), out_specs=P(SHARD_AXIS),
+            check_vma=False,
+        ), donate_argnums=0)  # rotate in place: don't hold 2 sample copies
+
+        xj, vj, n = self._stage_rows(np.asarray(sample, np.float32))
+        xr = rot_fn(xj, jnp.asarray(self.rotation))
+        del xj
+        self.kmeans.fit_staged(xr, vj, n, iters=kmeans_iters)
+
+    def _train_pq_residuals(self, sub: np.ndarray, *, pq_iters: int):
+        """Residual PQ training without the host round trips: rotate,
+        coarse-assign (fused top-1) and subtract on the mesh, then run
+        the PQ Lloyd loop on the device-resident residuals. Reuses the
+        rows OPQ staged (keep_staged) when available."""
+        staged = self.opq.staged() if self.use_opq else None
+        if staged is None:
+            xj, vj, nsub = self._stage_rows(sub)
+        else:
+            xj, vj, nsub = staged
+        m, dsub = self.pq.m, self.pq.dsub
+        K, chunk, impl = self.n_lists, self.chunk, self.impl
+
+        def local(xs, vs, r, c):
+            xr = jnp.dot(xs, r, preferred_element_type=jnp.float32)
+            _, idx = streaming_topk(
+                xr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(K), 1, chunk=chunk, impl=impl,
+            )
+            res = (xr - jnp.take(c, idx[:, 0], axis=0)) * vs
+            return res.reshape(res.shape[0], m, dsub)
+
+        fn = jax.jit(shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P()),
+            out_specs=P(SHARD_AXIS), check_vma=False,
+        ))
+        res3 = fn(xj, vj, jnp.asarray(self.rotation),
+                  jnp.asarray(self._padded_centroids()))
+        self.pq.train_staged(res3, vj, nsub, iters=pq_iters)
+        if self.use_opq:
+            self.opq.drop_staged()
 
     def _finish_train_stats(self) -> None:
         self.train_stats = {

@@ -287,6 +287,66 @@ class KMeans:
         }
         return self.centroids
 
+    def fit_staged(self, xj, valid, n_total: int, *, iters: int = 10,
+                   tol: float = 1e-4) -> np.ndarray:
+        """Lloyd iterations over an ALREADY device-resident sample.
+
+        `xj` is a padded [total, D] array row-sharded over the mesh
+        (rows past n_total are zero), `valid` its [total, 1] f32 mask.
+        Used by the device-resident train path (ivfpq._train_big): the
+        sample was rotated on device right after OPQ and never returns
+        to the host — only init rows and per-iteration [k, D] centroid
+        sums cross the link."""
+        total, dim = xj.shape
+        if n_total < self.k:
+            raise ValueError(f"need >= k={self.k} training rows, got {n_total}")
+        rng = np.random.default_rng(self.seed)
+        init_idx = np.sort(rng.choice(n_total, size=self.k, replace=False))
+        init_rows = np.asarray(
+            jnp.take(xj, jnp.asarray(init_idx), axis=0), np.float32)
+        self.centroids = _normalize_rows(init_rows) if self.spherical else init_rows
+
+        per = total // self.ndev
+        step_fn = self._build_step(per, dim)
+
+        objective_hist = []
+        split_hist = []
+        for it in range(iters):
+            c_pad = jnp.asarray(self._centroids_padded())
+            s, cnt, o = step_fn(xj, valid, c_pad)
+            sums = np.asarray(s, np.float64)
+            counts = np.asarray(cnt, np.float64)
+            obj = float(o)
+
+            new_c = np.where(
+                counts[:, None] > 0, sums / np.maximum(counts[:, None], 1), self.centroids
+            ).astype(np.float32)
+            if self.spherical:
+                new_c = _normalize_rows(new_c)
+            n_split = self._split_empty(new_c, counts, rng)
+            split_hist.append(n_split)
+
+            mean_obj = obj / n_total
+            objective_hist.append(mean_obj)
+            delta = float(np.linalg.norm(new_c - self.centroids) / np.sqrt(self.k))
+            self.centroids = new_c
+            logger.info(
+                "kmeans iter %d: objective=%.6f empties_split=%d delta=%.2e",
+                it, mean_obj, n_split, delta,
+            )
+            if delta < tol:
+                break
+
+        self.stats = {
+            "k": self.k,
+            "n_train": int(n_total),
+            "iters_run": len(objective_hist),
+            "objective": objective_hist,
+            "empty_splits": split_hist,
+            "spherical": self.spherical,
+        }
+        return self.centroids
+
     def _split_empty(self, centroids: np.ndarray, counts: np.ndarray, rng) -> int:
         """faiss-style repair: empty centroid <- jittered copy of a big one."""
         empty = np.flatnonzero(counts == 0)

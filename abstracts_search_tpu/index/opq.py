@@ -21,6 +21,7 @@ import logging
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .pq import ProductQuantizer
 
@@ -64,41 +65,101 @@ class OPQ:
         pq_iters: int = 8,
         init: str = "identity",
         seed: int = 0,
+        keep_staged: bool = False,
     ) -> np.ndarray:
-        """Alternate PQ training and Procrustes rotation updates."""
+        """Alternate PQ training and Procrustes rotation updates.
+
+        The sample is staged on the mesh ONCE; every step of the
+        alternation — rotate, PQ Lloyd, encode/decode, the Procrustes
+        gram x^T xhat and the MSE — runs on device, and only the
+        [D, D] gram (4 MB) plus scalars come back per outer iteration.
+        (The chunked host formulation shipped the sample across the
+        host<->device link ~7x per iteration; on the remote-tunnel
+        deployment that made OPQ the dominant cost of the whole index
+        train — ~25 min for a 262k-row sub-sample.) The host keeps the
+        SVD: a [1024, 1024] factorization is 1-core-cheap next to any
+        transfer."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import SHARD_AXIS, global_put
+
         x = np.asarray(x, np.float32)
+        n, dim = x.shape
+        m, dsub, ksub = self.pq.m, self.pq.dsub, self.pq.ksub
         if init == "random":
             rng = np.random.default_rng(seed)
             q, _ = np.linalg.qr(rng.standard_normal((self.dim, self.dim)))
             self.rotation = q.astype(np.float32)
 
+        # stage once: padded rows sharded over the mesh
+        ndev = self.pq.ndev
+        per = ((n + ndev - 1) // ndev + 7) // 8 * 8
+        total = per * ndev
+        xp = x if total == n else np.concatenate(
+            [x, np.zeros((total - n, dim), np.float32)])
+        valid = np.zeros((total, 1), np.float32)
+        valid[:n] = 1.0
+        mesh = self.pq.mesh
+        xj = global_put(xp, mesh, P(SHARD_AXIS))
+        vj = global_put(valid, mesh, P(SHARD_AXIS))
+        del xp
+
+        rotate = jax.jit(shard_map(
+            lambda xs, r: jnp.dot(xs, r, preferred_element_type=jnp.float32),
+            mesh=mesh, in_specs=(P(SHARD_AXIS), P()), out_specs=P(SHARD_AXIS),
+            check_vma=False,
+        ))
+
+        def local_gram(xs, xrs, vs, c):
+            # encode xr -> decode -> gram(x, xhat) + sq err, all local
+            xr3 = xrs.reshape(xrs.shape[0], m, dsub)
+            dots = jnp.einsum("nmd,mkd->nmk", xr3, c,
+                              preferred_element_type=jnp.float32)
+            c2 = jnp.sum(jnp.square(c), axis=-1)                 # [M, ksub]
+            codes = jnp.argmin(c2[None] - 2.0 * dots, axis=-1)   # [n, M]
+            onehot = jax.nn.one_hot(codes, ksub, dtype=jnp.float32)
+            xhat3 = jnp.einsum("nmk,mkd->nmd", onehot, c,
+                               preferred_element_type=jnp.float32)
+            xhat = xhat3.reshape(xrs.shape) * vs                 # zero pad rows
+            gram = jnp.dot(xs.T, xhat, preferred_element_type=jnp.float32)
+            err = jnp.sum(jnp.square((xrs - xhat3.reshape(xrs.shape)) * vs))
+            return lax.psum(gram, SHARD_AXIS), lax.psum(err, SHARD_AXIS)
+
+        gram_fn = jax.jit(shard_map(
+            local_gram, mesh=mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(SHARD_AXIS), P()),
+            out_specs=(P(), P()), check_vma=False,
+        ))
+
         mses = []
         for it in range(outer_iters):
-            xr = _rotate(x, self.rotation)
-            self.pq.train(xr, iters=pq_iters)
-            # accumulate the Procrustes gram x^T xhat and the MSE chunked —
-            # xhat for the full sample would be another full-size array
-            gram = np.zeros((self.dim, self.dim), np.float64)
-            sq_err = 0.0
-            for lo in range(0, len(x), _CHUNK):
-                xr_c = xr[lo : lo + _CHUNK]
-                xhat_c = self.pq.decode(self.pq.encode(xr_c))
-                sq_err += float(np.sum(np.square(xr_c - xhat_c)))
-                gram += np.asarray(
-                    _gram_chunk(jnp.asarray(x[lo : lo + _CHUNK]), jnp.asarray(xhat_c)),
-                    np.float64,
-                )
-            mse = sq_err / x.size
+            xr = rotate(xj, jnp.asarray(self.rotation))
+            xr3 = xr.reshape(total, m, dsub)
+            self.pq.train_staged(xr3, vj, n, iters=pq_iters)
+            gram, sq_err = gram_fn(xj, xr, vj, jnp.asarray(self.pq.centroids))
+            mse = float(sq_err) / (n * dim)
             mses.append(mse)
             logger.info("opq iter %d: mse=%.6g", it, mse)
             if it == outer_iters - 1:
                 break
             # Procrustes: R <- argmin_{R orthogonal} ||x R - xhat||
-            u, _, vt = np.linalg.svd(gram, full_matrices=False)
+            u, _, vt = np.linalg.svd(np.asarray(gram, np.float64),
+                                     full_matrices=False)
             self.rotation = (u @ vt).astype(np.float32)
 
         self.stats = {"mse": mses, "m": self.pq.m, "nbits": self.pq.nbits}
+        # with keep_staged the caller reuses the device-resident rows
+        # (ivfpq residual-PQ training) and frees them via drop_staged()
+        self._staged = (xj, vj, n) if keep_staged else None
         return self.rotation
+
+    def staged(self):
+        """(xj, valid, n) staged by train(keep_staged=True), or None."""
+        return getattr(self, "_staged", None)
+
+    def drop_staged(self) -> None:
+        self._staged = None
 
     def apply(self, x: np.ndarray) -> np.ndarray:
         return np.asarray(x, np.float32) @ self.rotation

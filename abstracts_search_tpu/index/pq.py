@@ -144,12 +144,6 @@ class ProductQuantizer:
         if n < self.ksub:
             raise ValueError(f"need >= ksub={self.ksub} rows, got {n}")
 
-        rng = np.random.default_rng(self.seed)
-        init = rng.choice(n, size=self.ksub, replace=False)
-        c = np.transpose(x[np.sort(init)], (1, 0, 2)).copy()  # [M, ksub, dsub]
-
-        step = self._build_train_step()
-
         # stage padded batches on device when they fit (same rationale as
         # KMeans.fit: don't re-upload the sample every Lloyd iteration)
         from ..parallel.mesh import global_put
@@ -162,6 +156,41 @@ class ProductQuantizer:
                 xp = global_put(xp, self.mesh, P(SHARD_AXIS))
                 valid = global_put(valid, self.mesh, P(SHARD_AXIS))
             staged.append((xp, valid))
+
+        def fetch_rows(idx: np.ndarray) -> np.ndarray:
+            return x[idx]
+
+        return self._lloyd(staged, n, fetch_rows, iters=iters, tol=tol)
+
+    def train_staged(self, xj3, valid, n: int, *, iters: int = 12,
+                     tol: float = 1e-5) -> np.ndarray:
+        """Train on an ALREADY device-resident sample — `xj3` is a padded
+        [total, M, dsub] array row-sharded over the mesh, `valid` its
+        [total, 1] f32 mask. Nothing sample-sized crosses host<->device:
+        only per-iteration [M, ksub, dsub] sums + the few rows needed for
+        init / empty-code reseeds come back. This is the OPQ inner loop's
+        path (opq.py): the alternation re-trains the PQ every outer
+        iteration and the sample upload must not be paid each time."""
+        if n < self.ksub:
+            raise ValueError(f"need >= ksub={self.ksub} rows, got {n}")
+
+        def fetch_rows(idx: np.ndarray) -> np.ndarray:
+            # gather on device, download only the requested rows
+            return np.asarray(jnp.take(xj3, jnp.asarray(np.sort(idx)), axis=0))
+
+        return self._lloyd([(xj3, valid)], n, fetch_rows, iters=iters, tol=tol)
+
+    def _lloyd(self, staged, n, fetch_rows, *, iters, tol) -> np.ndarray:
+        """Shared batched-subspace Lloyd loop over staged (x, valid)
+        batches; `fetch_rows(idx) -> [len(idx), M, dsub]` supplies
+        training rows for init and empty-code reseeding."""
+        rng = np.random.default_rng(self.seed)
+        init = rng.choice(n, size=self.ksub, replace=False)
+        c = np.transpose(
+            np.asarray(fetch_rows(np.sort(init)), np.float32), (1, 0, 2)
+        ).copy()  # [M, ksub, dsub]
+
+        step = self._build_train_step()
 
         errs = []
         prev = None
@@ -182,10 +211,16 @@ class ProductQuantizer:
                 counts[..., None] > 0, sums / np.maximum(counts[..., None], 1), c
             ).astype(np.float32)
             # empty codes: reseed from random training rows (per subspace)
-            for mi in range(self.m):
-                empty = np.flatnonzero(counts[mi] == 0)
-                if len(empty):
-                    newc[mi, empty] = x[rng.integers(0, n, len(empty)), mi]
+            empties = {mi: np.flatnonzero(counts[mi] == 0) for mi in range(self.m)}
+            n_empty = sum(len(v) for v in empties.values())
+            if n_empty:
+                seeds = np.asarray(
+                    fetch_rows(rng.integers(0, n, n_empty)), np.float32)
+                off = 0
+                for mi, empty in empties.items():
+                    if len(empty):
+                        newc[mi, empty] = seeds[off : off + len(empty), mi]
+                        off += len(empty)
             c = newc
             logger.info("pq train iter %d: mse=%.6g", it, mse)
             if prev is not None and abs(prev - mse) < tol * max(prev, 1e-12):
