@@ -144,7 +144,7 @@ def phase_build(args):
     idx = IVFPQIndex(args.lists, D, pq_m=args.pq_m, pq_nbits=8,
                      use_opq=not args.no_opq, mesh=build_mesh(),
                      seg_size=args.seg, chunk=2048, seed=0,
-                     scan_impl=args.scan_impl)
+                     scan_impl=args.scan_impl, storage=args.storage)
     t0 = time.time()
     sample = host_sample(args.train_rows, basis, centers, p)
     print(f"train sample gen ({args.train_rows}): {time.time()-t0:.0f}s", flush=True)
@@ -163,11 +163,20 @@ def phase_build(args):
     pqc_j = jnp.asarray(idx.pq.centroids)
 
     def encoded_chunks():
+        # pipelined: chunk ci+1 is DISPATCHED before chunk ci's codes are
+        # downloaded, so device compute hides behind the link transfer
+        pending = None
         for ci in range(n_chunks):
             x = gen(jax.random.fold_in(base, ci))
             a, cd = idx._encode_fused(x, rot_j, c_j, pqc_j)
-            yield (np.asarray(a), np.asarray(cd).astype(np.uint8),
-                   np.arange(ci * CH, (ci + 1) * CH, dtype=np.int64))
+            if pending is not None:
+                pj, (pa, pcd) = pending
+                yield (np.asarray(pa), np.asarray(pcd).astype(np.uint8),
+                       np.arange(pj * CH, (pj + 1) * CH, dtype=np.int64))
+            pending = (ci, (a, cd))
+        pj, (pa, pcd) = pending
+        yield (np.asarray(pa), np.asarray(pcd).astype(np.uint8),
+               np.arange(pj * CH, (pj + 1) * CH, dtype=np.int64))
 
     idx.fill_encoded_stream(encoded_chunks(), lists_dir=out / "index" / "lists")
     dt = time.time() - t0
@@ -177,10 +186,20 @@ def phase_build(args):
           f"skew={cnt.max()/max(cnt.mean(),1e-9):.0f}x", flush=True)
     idx.save(out / "index")
 
-    # device-mode sweep
-    ref = best_p
+    if args.storage == "device":
+        _sweep(idx, q, best_p, rtt, out)
+    else:
+        # giant builds (207M: ~13 GB packed lists) fill with
+        # storage="host" so the build never risks a device-install OOM;
+        # the device sweep runs in a fresh process (--phase devserve)
+        print("storage=%s: skipping in-build sweep (run --phase devserve)"
+              % args.storage, flush=True)
+    print("build RSS high-water: %.2f GiB" % rss_gb(), flush=True)
+
+
+def _sweep(idx, q, ref, rtt, out, nprobes=(8, 16, 32, 64)):
     rows = []
-    for nprobe in (8, 16, 32, 64):
+    for nprobe in nprobes:
         v, pos = idx.search(q, K, nprobe=nprobe)
         recall = np.mean([len(set(pos[i]) & set(ref[i])) / K for i in range(NQ)])
         reps = 5
@@ -196,7 +215,51 @@ def phase_build(args):
               f"QPS/chip={NQ/dt:.0f} live={st['live_slots']} "
               f"bucket={st['bucket']}", flush=True)
     (out / "device_sweep.json").write_text(json.dumps(rows))
-    print("build RSS high-water: %.2f GiB" % rss_gb(), flush=True)
+    return rows
+
+
+def phase_devserve(args):
+    """Fresh process: reopen the saved artifacts on DEVICE (falling back
+    to hybrid if the packed lists exceed HBM), sweep nprobe against the
+    stored oracle, and measure single-query latency."""
+    import jax
+
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+
+    out = Path(args.out)
+    q = np.load(out / "queries.npy")
+    ref = np.load(out / "oracle.npy")
+    rtt = measure_rtt()
+
+    t0 = time.time()
+    try:
+        idx = IVFPQIndex.load(out / "index", storage="device",
+                              scan_impl=args.scan_impl)
+        storage = "device"
+    except Exception as e:  # HBM exhausted: serve hybrid
+        print(f"device install failed ({type(e).__name__}: {e}); "
+              f"reloading hybrid", flush=True)
+        idx = IVFPQIndex.load(out / "index", storage="hybrid",
+                              hot_budget_bytes=args.hot_budget_gb * (1 << 30),
+                              scan_impl=args.scan_impl)
+        storage = "hybrid"
+    print(f"{storage} load+install: {time.time()-t0:.0f}s", flush=True)
+
+    rows = _sweep(idx, q, ref, rtt, out)
+
+    nprobe = args.host_nprobe
+    idx.search(q[:1], K, nprobe=nprobe)  # warm the qn=1 shape
+    ts = []
+    for i in range(30):
+        t0 = time.time()
+        idx.search(q[i % NQ : i % NQ + 1], K, nprobe=nprobe)
+        ts.append(time.time() - t0)
+    ts = np.array(ts) * 1e3
+    print(f"qn=1 nprobe={nprobe}: median {np.median(ts):.1f} ms "
+          f"p90 {np.percentile(ts, 90):.1f} ms (tunnel RTT ~{rtt*1e3:.0f} ms)",
+          flush=True)
+    print(json.dumps({"storage": storage, "sweep": rows,
+                      "q1_median_ms": round(float(np.median(ts)), 1)}))
 
 
 def phase_hostserve(args):
@@ -236,7 +299,8 @@ def phase_hostserve(args):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--phase", choices=("build", "hostserve"), required=True)
+    ap.add_argument("--phase", choices=("build", "devserve", "hostserve"),
+                    required=True)
     ap.add_argument("--n", type=int, default=8_388_608)
     ap.add_argument("--lists", type=int, default=8192)
     ap.add_argument("--seg", type=int, default=512)
@@ -251,12 +315,20 @@ def main():
     ap.add_argument("--kmeans-iters", type=int, default=6)
     ap.add_argument("--scan-impl", default="slots",
                     help="'map' for CPU smoke (interpret-mode pallas is slow)")
+    ap.add_argument("--storage", default="device",
+                    help="fill-time storage; 'host' for builds whose "
+                         "packed lists exceed HBM (the sweep then runs "
+                         "via --phase devserve)")
+    ap.add_argument("--hot-budget-gb", type=float, default=12.0,
+                    help="devserve hybrid-fallback HBM budget")
     args = ap.parse_args()
     if args.chunk_rows:
         global CH
         CH = args.chunk_rows
     if args.phase == "build":
         phase_build(args)
+    elif args.phase == "devserve":
+        phase_devserve(args)
     else:
         phase_hostserve(args)
 
