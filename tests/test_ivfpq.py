@@ -184,3 +184,36 @@ def test_speculative_scan_equivalence(rng):
     v3, p3 = idx.search(q[:4], 5, nprobe=4)
     assert idx.last_scan_stats["spec"] == "cold"
     np.testing.assert_array_equal(p3, p0[:4])
+
+
+def test_fused_scan_transfer_is_integer_typed(rng):
+    """The fused scan->host transfer must ride an INTEGER dtype.
+
+    TPU vector units flush f32 denormals to zero in copy/fusion paths;
+    top-k positions bitcast into f32 lanes are denormals (values <
+    2^24), so packing the result as f32 silently zeroed positions on
+    chip while CPU (which preserves denormals) stayed green. Structural
+    regression guard for the int32 packing in IVFPQIndex._build_scan.
+    """
+    import jax.numpy as jnp
+
+    n, d = 2048, 32
+    x = _normed(rng, n, d)
+    idx = IVFPQIndex(8, d, pq_m=8, pq_nbits=8, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0)
+    idx.train(x[:1024], kmeans_iters=3, opq_iters=1, pq_iters=3)
+    idx.fill(x)
+    q = x[:4]
+    idx.search(q, 5, nprobe=4)
+
+    scan_keys = [key for key in idx._search_cache if key[0] == "scan"]
+    assert scan_keys, "search must have compiled a fused scan"
+    _, qn, k, nprobe, bucket, maxcnt = scan_keys[-1]
+    qp = np.zeros((qn, d), np.float32)
+    qp[: len(q)] = q
+    probes, bias, luts, _ = idx._search_cache[("probe_csr", qn, nprobe)](
+        jnp.asarray(qp), idx._rot_dev, idx._centroids_dev,
+        idx._pq_cent_dev, idx._csr_dev[1])
+    flat = idx._search_cache[scan_keys[-1]](
+        probes, bias, luts, *idx._dev_arrays, *idx._csr_dev)
+    assert jnp.issubdtype(flat.dtype, jnp.integer), flat.dtype

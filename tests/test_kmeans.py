@@ -74,3 +74,32 @@ def test_kmeans_requires_enough_rows():
     km = KMeans(100)
     with pytest.raises(ValueError):
         km.fit(np.zeros((10, 4), np.float32))
+
+
+def test_kmeans_fit_staged_matches_fit(rng):
+    """fit_staged (device-resident sample, the ivfpq 'device' train
+    mode) must reproduce fit() on the same single-window sample."""
+    from jax.sharding import PartitionSpec as P
+
+    from abstracts_search_tpu.parallel.mesh import global_put
+
+    n, d, k = 1200, 16, 8
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+
+    a = KMeans(k, mesh=build_mesh(), chunk=128, seed=3)
+    a.fit(x, iters=4, batch_rows=n)
+
+    b = KMeans(k, mesh=build_mesh(), chunk=128, seed=3)
+    ndev = b.ndev
+    per = ((n + ndev - 1) // ndev + 7) // 8 * 8
+    total = per * ndev
+    xp = np.zeros((total, d), np.float32)
+    xp[:n] = x
+    valid = np.zeros((total, 1), np.float32)
+    valid[:n] = 1.0
+    xj = global_put(xp, b.mesh, P("shard"))
+    vj = global_put(valid, b.mesh, P("shard"))
+    b.fit_staged(xj, vj, n, iters=4)
+
+    np.testing.assert_allclose(a.centroids, b.centroids, rtol=1e-5, atol=1e-6)

@@ -93,3 +93,34 @@ def test_opq_decode_unrotated_roundtrip(rng):
     xr = opq.apply(x[:20])
     err_rot = np.mean(np.square(opq.pq.decode(codes) - xr))
     np.testing.assert_allclose(err, err_rot, rtol=1e-3)
+
+
+def test_pq_train_staged_matches_host(rng):
+    """train_staged (device-resident rows, the OPQ inner-loop path) must
+    reproduce train() given the same seed: same init rows, same Lloyd
+    arithmetic, only the staging differs."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from abstracts_search_tpu.parallel import build_mesh
+    from abstracts_search_tpu.parallel.mesh import global_put
+
+    n, dim, m = 512, 32, 8
+    x = rng.standard_normal((n, dim)).astype(np.float32)
+
+    a = ProductQuantizer(dim, m, 4, mesh=build_mesh(), seed=5)
+    a.train(x, iters=4)
+
+    b = ProductQuantizer(dim, m, 4, mesh=build_mesh(), seed=5)
+    ndev = b.ndev
+    per = ((n + ndev - 1) // ndev + 7) // 8 * 8
+    total = per * ndev
+    xp = np.zeros((total, dim), np.float32)
+    xp[:n] = x
+    valid = np.zeros((total, 1), np.float32)
+    valid[:n] = 1.0
+    xj3 = global_put(xp.reshape(total, m, dim // m), b.mesh, P("shard"))
+    vj = global_put(valid, b.mesh, P("shard"))
+    b.train_staged(xj3, vj, n, iters=4)
+
+    np.testing.assert_allclose(a.centroids, b.centroids, rtol=1e-5, atol=1e-6)
