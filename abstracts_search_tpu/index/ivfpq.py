@@ -135,6 +135,8 @@ class IVFPQIndex:
             n_lists, mesh=self.mesh, spherical=True,
             chunk=chunk, impl=impl, seed=seed,
         )
+        if pq_nbits == 4 and pq_m % 2:
+            raise ValueError("pq_nbits=4 requires even pq_m (nibble packing)")
         self.pq = ProductQuantizer(dim, pq_m, pq_nbits, mesh=self.mesh, seed=seed)
         self.opq = OPQ(dim, pq_m, pq_nbits, mesh=self.mesh, seed=seed) if use_opq else None
         self.rotation = np.eye(dim, dtype=np.float32)
@@ -173,6 +175,16 @@ class IVFPQIndex:
     @property
     def is_trained(self) -> bool:
         return self.kmeans.centroids is not None and self.pq.is_trained
+
+    @property
+    def code_bytes(self) -> int:
+        """Stored bytes per vector. 4-bit codes are nibble-packed (two
+        subspaces per byte: 2j low, 2j+1 high) so the faiss-style
+        "M x 4 bit = M/2 bytes" memory budget actually holds — the
+        default 128x4 config is a true 64 B/vector, and the scan DMAs
+        half the bytes of an unpacked layout (it is HBM-bound at
+        production list sizes)."""
+        return self.pq.m // 2 if self.pq.nbits == 4 else self.pq.m
 
     # -- train ------------------------------------------------------------------
 
@@ -382,6 +394,7 @@ class IVFPQIndex:
         host<->device link is the bottleneck, not compute.)"""
         chunk, impl, K = self.chunk, self.impl, self.n_lists
         m_pq, dsub, ksub = self.pq.m, self.pq.dsub, self.pq.ksub
+        nbits = self.pq.nbits
 
         def local(x, rot, c, pqc):
             xr = jnp.dot(x, rot, preferred_element_type=jnp.float32)
@@ -397,8 +410,12 @@ class IVFPQIndex:
             c2 = jnp.sum(jnp.square(pqc), axis=-1)          # [M, ksub]
             # uint8 on DEVICE: codes cross host<->device once per chunk,
             # and an int32 argmin result would ship 4x the bytes (the
-            # fill stage is link-bound, not compute-bound).
+            # fill stage is link-bound, not compute-bound). 4-bit codes
+            # additionally nibble-pack on device (wire == storage format).
             codes = jnp.argmin(c2[None] - 2.0 * dots, axis=-1).astype(jnp.uint8)
+            if nbits == 4:
+                c3 = codes.reshape(codes.shape[0], m_pq // 2, 2)
+                codes = c3[..., 0] | (c3[..., 1] << 4)
             return a, codes
 
         fn = shard_map(
@@ -411,7 +428,9 @@ class IVFPQIndex:
 
     def encode(self, vectors: np.ndarray, *, batch_rows: int = 1 << 18
                ) -> tuple[np.ndarray, np.ndarray]:
-        """-> (list assignment [N], residual PQ codes [N, M] uint8)."""
+        """-> (list assignment [N], residual PQ codes [N, code_bytes]
+        uint8 in the STORAGE format — 4-bit codes arrive nibble-packed,
+        exactly as the lists store and the scan reads them)."""
         x = np.asarray(vectors, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
@@ -424,7 +443,7 @@ class IVFPQIndex:
         n = len(x)
         ndev = self.ndev
         assign = np.empty(n, np.int64)
-        codes = np.empty((n, self.pq.m), np.uint8)
+        codes = np.empty((n, self.code_bytes), np.uint8)
         for lo in range(0, n, batch_rows):
             xc = x[lo : lo + batch_rows]
             per = _round_up(_round_up(len(xc), ndev) // ndev, 8)
@@ -504,6 +523,7 @@ class IVFPQIndex:
                 np.concatenate(assign_parts),
                 self.n_lists,
                 seg_size=self.seg_size,
+                transposed=True,
             )
             self._install(packed)
             return
@@ -525,13 +545,14 @@ class IVFPQIndex:
                     np.asarray(positions, np.int64).tofile(pf)
                     n_total += len(codes)
             codes_mm = np.memmap(spill / "codes.u8", dtype=np.uint8, mode="r",
-                                 shape=(n_total, self.pq.m))
+                                 shape=(n_total, self.code_bytes))
             pos_mm = np.memmap(spill / "pos.i64", dtype=np.int64, mode="r",
                                shape=(n_total,))
             assign = np.fromfile(spill / "assign.i32", dtype=np.int32)
             packed = pack_lists_external(
                 codes_mm, pos_mm, assign, self.n_lists,
                 seg_size=self.seg_size, out_dir=lists_dir,
+                transposed=True,
             )
             del codes_mm, pos_mm
         finally:
@@ -568,9 +589,8 @@ class IVFPQIndex:
     def _pick_hot_lists(self, packed: CSRLists) -> np.ndarray:
         """Largest lists first until the per-device HBM budget is spent
         (mass^2 heuristic: big lists are probed most AND cost most)."""
-        seg_bytes = packed.seg_size * (
-            int(np.prod(packed.data.shape[2:])) * packed.data.dtype.itemsize + 4
-        )
+        seg_bytes = (int(np.prod(packed.data.shape[1:]))
+                     * packed.data.dtype.itemsize + packed.seg_size * 4)
         order = np.argsort(-packed.seg_cnt.astype(np.int64), kind="stable")
         cum = np.cumsum(packed.seg_cnt[order].astype(np.int64) * seg_bytes)
         budget_total = self.hot_budget_bytes * self.ndev
@@ -578,7 +598,32 @@ class IVFPQIndex:
         hot[order[cum <= budget_total]] = True
         return hot
 
+    # Per-device ceiling for a FULL device install (storage="device") on
+    # real TPUs. A v5e has 16 GiB of HBM but the runtime needs headroom
+    # for program workspace and transfer staging — measured at 207M
+    # (14.7 GiB resident), the chip accepts the install and then
+    # silently WEDGES on the next program execution (even `x+1` never
+    # returns through the tunnel). Raising here instead lets callers
+    # fall back to storage="hybrid", which keeps the hottest lists under
+    # hot_budget_bytes in HBM and serves the cold tail from the host
+    # memmap — the analog of the reference's ondisk.ivfdata capacity
+    # mode (/root/reference/Makefile:11, README.md:33).
+    DEVICE_INSTALL_LIMIT_BYTES = 13 << 30
+
     def _install_device(self, packed: CSRLists, hot_mask) -> None:
+        if hot_mask is None and jax.default_backend() == "tpu":
+            seg_bytes = (int(np.prod(packed.data.shape[1:]))
+                         * packed.data.dtype.itemsize
+                         + packed.seg_size * 4)  # + row_ids
+            per_dev = int(packed.seg_cnt.astype(np.int64).sum()) * seg_bytes \
+                // self.ndev
+            if per_dev > self.DEVICE_INSTALL_LIMIT_BYTES:
+                raise MemoryError(
+                    f"device install needs ~{per_dev / (1 << 30):.1f} GiB/chip "
+                    f"(> {self.DEVICE_INSTALL_LIMIT_BYTES / (1 << 30):.1f} GiB "
+                    f"limit); use storage='hybrid' (hot lists in HBM, cold "
+                    f"tail from the memmap) or a larger mesh"
+                )
         if hot_mask is None:
             view = packed
         else:
@@ -587,7 +632,7 @@ class IVFPQIndex:
                 seg_valid=packed.seg_valid, seg_start=packed.seg_start,
                 seg_cnt=np.where(hot_mask, packed.seg_cnt, 0).astype(np.int32),
                 seg_size=packed.seg_size, n_lists=packed.n_lists,
-                n_rows=packed.n_rows,
+                n_rows=packed.n_rows, transposed=packed.transposed,
             )
         shards = shard_lists(view, self.ndev)
         self._dev_arrays = tuple(
@@ -726,14 +771,17 @@ class IVFPQIndex:
     # -- search: phase 3 (scan) --------------------------------------------------------
 
     def _adc_fn(self):
+        import functools
+
         from ..ops.adc import adc_scan_pallas, adc_scan_xla
 
         scan = self.scan_impl
         if scan == "auto":
             scan = "slots" if jax.default_backend() == "tpu" else "map"
-        if scan in ("map", "xla"):
-            return adc_scan_xla
-        return adc_scan_pallas
+        fn = adc_scan_xla if scan in ("map", "xla") else adc_scan_pallas
+        # payload orientation comes from the artifact (legacy row-major
+        # artifacts stay servable; new packs are transposed)
+        return functools.partial(fn, transposed=self.packed.transposed)
 
     def _scan_body(self, qn: int, k: int, nprobe: int, adc):
         """Shared slot-scan body: per-slot ADC -> per-slot top-k ->
@@ -977,7 +1025,10 @@ class IVFPQIndex:
         """Gather exactly the probed segments from the host CSR (a
         memmap read when loaded with storage='host') and rank on device."""
         sidx = seg_ids[0]
-        codes3 = np.zeros((bucket, self.seg_size, self.pq.m), self.packed.data.dtype)
+        # payload width from the artifact itself (legacy unpacked 4-bit
+        # artifacts stay loadable; new ones are nibble-packed)
+        codes3 = np.zeros((bucket,) + self.packed.data.shape[1:],
+                          self.packed.data.dtype)
         row_ids = np.full((bucket, self.seg_size), -1, np.int32)
         seg_valid = np.zeros(bucket, np.int32)
         live = slot_pair[0] >= 0

@@ -76,9 +76,20 @@ def ragged_ranges(starts: np.ndarray, counts: np.ndarray):
 
 @dataclasses.dataclass
 class CSRLists:
-    """Canonical packed lists (see module docstring)."""
+    """Canonical packed lists (see module docstring).
 
-    data: np.ndarray       # [n_segs, SEG, *payload]; may be np.memmap
+    ``transposed=True`` stores each segment block as [MB, SEG] (one
+    sublane per payload byte, one lane per row) instead of [SEG, MB].
+    For 64-byte PQ codes this is the difference between a compact HBM
+    layout and a 2x-padded one: TPU tiled layouts pad the minor dim to
+    128 lanes, so a [SEG, 64]-u8 block physically occupies twice its
+    bytes (measured: a 13.1 GiB 207M codes array wanted a 26.3 GiB
+    allocation, wedging the chip). With rows on the lane axis the minor
+    dim is SEG (a 128-multiple) and the layout is exact; the ADC kernel
+    gets a matching sublane-major variant (ops/adc.py).
+    """
+
+    data: np.ndarray       # [n_segs, SEG, *payload] or [n_segs, MB, SEG]
     row_ids: np.ndarray    # [n_segs, SEG] int32; may be np.memmap
     seg_valid: np.ndarray  # [n_segs] int32
     seg_start: np.ndarray  # [n_lists] int64
@@ -86,6 +97,7 @@ class CSRLists:
     seg_size: int
     n_lists: int
     n_rows: int
+    transposed: bool = False
 
     @property
     def n_segs(self) -> int:
@@ -121,6 +133,7 @@ def pack_lists(
     seg_size: int = 512,
     data_out: np.ndarray | None = None,
     row_ids_out: np.ndarray | None = None,
+    transposed: bool = False,
 ) -> CSRLists:
     """Bucket rows by IVF list into the canonical CSR layout. Fully
     vectorized (the round-1 per-list Python loop was an O(n_lists)
@@ -129,7 +142,10 @@ def pack_lists(
     payloads: [N, ...]; positions: [N] global corpus ids;
     assignments: [N] list id per row. ``data_out``/``row_ids_out``
     optionally supply preallocated (e.g. memmap) destination arrays of
-    shape [n_segs, SEG, ...] — ``plan_pack`` computes n_segs.
+    the segment-block shape — ``plan_pack`` computes n_segs.
+
+    ``transposed=True`` (1-D payloads only) stores segment blocks as
+    [MB, SEG] — see CSRLists: the lane-compact layout for PQ codes.
     """
     n = len(payloads)
     assert len(positions) == n and len(assignments) == n
@@ -141,8 +157,12 @@ def pack_lists(
     n_segs = max(int(seg_cnt.sum()), 1)  # keep >=1 dead segment: scans clamp to 0
 
     payload_shape = payloads.shape[1:]
+    if transposed and len(payload_shape) != 1:
+        raise ValueError("transposed packing requires 1-D row payloads")
+    blk = ((payload_shape[0], seg_size) if transposed
+           else (seg_size,) + tuple(payload_shape))
     if data_out is None:
-        data_out = np.zeros((n_segs, seg_size) + payload_shape, payloads.dtype)
+        data_out = np.zeros((n_segs,) + blk, payloads.dtype)
     if row_ids_out is None:
         row_ids_out = np.full((n_segs, seg_size), -1, np.int32)
 
@@ -154,14 +174,17 @@ def pack_lists(
         # segments of a list are contiguous, so the flat destination is
         # simply seg_start[l]*SEG + rank-within-list
         dest = seg_start[sorted_lists] * seg_size + row_in_list
-        data_out.reshape((-1,) + payload_shape)[dest] = payloads[order]
+        if transposed:
+            data_out[dest // seg_size, :, dest % seg_size] = payloads[order]
+        else:
+            data_out.reshape((-1,) + tuple(payload_shape))[dest] = payloads[order]
         row_ids_out.reshape(-1)[dest] = np.asarray(positions, np.int64)[order]
 
     seg_valid = _seg_valid(counts, seg_cnt, seg_start, n_segs, seg_size)
     return CSRLists(
         data=data_out, row_ids=row_ids_out, seg_valid=seg_valid,
         seg_start=seg_start.astype(np.int64), seg_cnt=seg_cnt.astype(np.int32),
-        seg_size=seg_size, n_lists=n_lists, n_rows=n,
+        seg_size=seg_size, n_lists=n_lists, n_rows=n, transposed=transposed,
     )
 
 
@@ -201,9 +224,9 @@ def shard_lists(csr: CSRLists, ndev: int) -> DeviceShards:
         gathered.append(seg_ids)
 
     n_segs_pad = max(max((len(g) for g in gathered), default=0), 1)
-    payload_shape = csr.data.shape[2:]
+    blk = csr.data.shape[1:]  # [SEG, *payload] or [MB, SEG]
     for g in gathered:
-        data = np.zeros((n_segs_pad, csr.seg_size) + payload_shape, csr.data.dtype)
+        data = np.zeros((n_segs_pad,) + blk, csr.data.dtype)
         rows = np.full((n_segs_pad, csr.seg_size), -1, np.int32)
         valid = np.zeros(n_segs_pad, np.int32)
         if len(g):
@@ -233,6 +256,7 @@ def pack_lists_external(
     out_dir: str | Path,
     slab_rows: int = 1 << 18,
     bucket_bytes: int = 1 << 30,
+    transposed: bool = False,
 ) -> CSRLists:
     """External-memory pack: write the CSR artifact directly to
     ``out_dir`` (the `save_lists` layout) without ever holding the
@@ -268,10 +292,14 @@ def pack_lists_external(
     n_segs = max(int(seg_cnt.sum()), 1)
 
     payload_shape = tuple(payloads.shape[1:])
+    if transposed and len(payload_shape) != 1:
+        raise ValueError("transposed packing requires 1-D row payloads")
     pdtype = payloads.dtype
     rowbytes = int(np.prod(payload_shape, dtype=np.int64)) * pdtype.itemsize
+    blk = ((payload_shape[0], seg_size) if transposed
+           else (seg_size,) + payload_shape)
     data_mm = np.memmap(out_dir / "codes.bin", dtype=pdtype, mode="w+",
-                        shape=(n_segs, seg_size) + payload_shape)
+                        shape=(n_segs,) + blk)
     row_mm = np.memmap(out_dir / "row_ids.bin", dtype=np.int32, mode="w+",
                        shape=(n_segs, seg_size))
     # padding rows are conventionally -1 (sequential init pass)
@@ -281,12 +309,12 @@ def pack_lists_external(
     if n and n * rowbytes <= bucket_bytes:
         _pack_sorted_scatter(payloads, positions, assignments, counts,
                              seg_start, seg_size, data_mm, row_mm,
-                             payload_shape, slab_rows)
+                             payload_shape, slab_rows, transposed)
     elif n:
         _pack_distribution(payloads, positions, assignments, counts,
                            seg_cnt, seg_start, n_lists, seg_size, data_mm,
                            row_mm, payload_shape, pdtype, rowbytes,
-                           slab_rows, bucket_bytes, out_dir)
+                           slab_rows, bucket_bytes, out_dir, transposed)
     data_mm.flush()
     row_mm.flush()
     del data_mm, row_mm
@@ -296,40 +324,45 @@ def pack_lists_external(
     np.save(out_dir / "seg_start.npy", seg_start.astype(np.int64))
     np.save(out_dir / "seg_cnt.npy", seg_cnt.astype(np.int32))
     (out_dir / _META).write_text(json.dumps({
-        "format": 2,
+        "format": 3,
         "n_segs": n_segs,
         "seg_size": int(seg_size),
         "n_lists": int(n_lists),
         "n_rows": int(n),
         "payload_shape": list(payload_shape),
         "payload_dtype": str(pdtype),
+        "transposed": bool(transposed),
     }))
     return load_lists(out_dir, mmap=True)
 
 
 def _pack_sorted_scatter(payloads, positions, assignments, counts, seg_start,
-                         seg_size, data_mm, row_mm, payload_shape, slab_rows):
+                         seg_size, data_mm, row_mm, payload_shape, slab_rows,
+                         transposed=False):
     """One-pass path: argsort by list, scatter slabs. Destinations are
     non-decreasing in sorted order (segments of a list are contiguous),
     so artifact writes are sequential; spill reads are random."""
     n = len(assignments)
     order = np.argsort(assignments, kind="stable")
     row_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
-    data_flat = data_mm.reshape((-1,) + payload_shape)
+    data_flat = None if transposed else data_mm.reshape((-1,) + payload_shape)
     row_flat = row_mm.reshape(-1)
     for lo in range(0, n, slab_rows):
         sel = order[lo : lo + slab_rows]
         sl = assignments[sel]
         rank = (lo + np.arange(len(sel), dtype=np.int64)) - row_start[sl]
         dest = seg_start[sl] * seg_size + rank
-        data_flat[dest] = payloads[sel]
+        if transposed:
+            data_mm[dest // seg_size, :, dest % seg_size] = payloads[sel]
+        else:
+            data_flat[dest] = payloads[sel]
         row_flat[dest] = np.asarray(positions[sel], np.int64)
 
 
 def _pack_distribution(payloads, positions, assignments, counts, seg_cnt,
                        seg_start, n_lists, seg_size, data_mm, row_mm,
                        payload_shape, pdtype, rowbytes, slab_rows,
-                       bucket_bytes, out_dir):
+                       bucket_bytes, out_dir, transposed=False):
     import shutil
     import tempfile
 
@@ -384,6 +417,7 @@ def _pack_distribution(payloads, positions, assignments, counts, seg_cnt,
             local = pack_lists(
                 pay, pos, a, l1 - l0, seg_size=seg_size,
                 data_out=data_mm[s0:s1], row_ids_out=row_mm[s0:s1],
+                transposed=transposed,
             )
             assert local.n_segs == s1 - s0 or (s1 == s0 and local.n_segs == 1)
     finally:
@@ -411,13 +445,15 @@ def save_lists(csr: CSRLists, directory: str | Path) -> None:
     np.save(d / "seg_start.npy", csr.seg_start)
     np.save(d / "seg_cnt.npy", csr.seg_cnt)
     (d / _META).write_text(json.dumps({
-        "format": 2,
+        "format": 3,
         "n_segs": int(csr.n_segs),
         "seg_size": int(csr.seg_size),
         "n_lists": int(csr.n_lists),
         "n_rows": int(csr.n_rows),
-        "payload_shape": list(csr.data.shape[2:]),
+        "payload_shape": (list(csr.data.shape[1:2]) if csr.transposed
+                          else list(csr.data.shape[2:])),
         "payload_dtype": str(csr.data.dtype),
+        "transposed": bool(csr.transposed),
     }))
 
 
@@ -435,15 +471,17 @@ def load_lists(directory: str | Path, *, mmap: bool = True) -> CSRLists:
     n_segs, seg = meta["n_segs"], meta["seg_size"]
     pshape = tuple(meta["payload_shape"])
     pdtype = np.dtype(meta["payload_dtype"])
+    transposed = bool(meta.get("transposed", False))  # format<=2: rows
+    blk = (pshape[0], seg) if transposed else (seg,) + pshape
     mode = "r" if mmap else None
     if mmap:
         data = np.memmap(d / "codes.bin", dtype=pdtype, mode=mode,
-                         shape=(n_segs, seg) + pshape)
+                         shape=(n_segs,) + blk)
         row_ids = np.memmap(d / "row_ids.bin", dtype=np.int32, mode=mode,
                             shape=(n_segs, seg))
     else:
         data = np.fromfile(d / "codes.bin", dtype=pdtype).reshape(
-            (n_segs, seg) + pshape)
+            (n_segs,) + blk)
         row_ids = np.fromfile(d / "row_ids.bin", dtype=np.int32).reshape(n_segs, seg)
     return CSRLists(
         data=data, row_ids=row_ids,
@@ -451,4 +489,5 @@ def load_lists(directory: str | Path, *, mmap: bool = True) -> CSRLists:
         seg_start=np.load(d / "seg_start.npy"),
         seg_cnt=np.load(d / "seg_cnt.npy"),
         seg_size=seg, n_lists=meta["n_lists"], n_rows=meta["n_rows"],
+        transposed=transposed,
     )

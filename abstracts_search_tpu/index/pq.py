@@ -249,7 +249,13 @@ class ProductQuantizer:
         return out
 
     def decode(self, codes: np.ndarray) -> np.ndarray:
-        """codes [N, M] -> approx vectors [N, dim]."""
+        """codes [N, M] (or nibble-packed [N, M/2] — the 4-bit storage
+        format: byte j = subspace 2j low nibble, 2j+1 high) -> approx
+        vectors [N, dim]."""
+        codes = np.asarray(codes)
+        if self.nbits == 4 and codes.shape[-1] == self.m // 2:
+            codes = np.stack([codes & 0xF, codes >> 4], axis=-1
+                             ).reshape(len(codes), self.m)
         c = self.centroids  # [M, ksub, dsub]
         out = c[np.arange(self.m)[None, :], codes.astype(np.int64)]  # [N, M, dsub]
         return out.reshape(len(codes), self.dim)

@@ -40,6 +40,74 @@ def _mchunk(m: int, ksub: int) -> int:
     return max(1, min(m, 4096 // ksub))
 
 
+def _is_packed(codes3, luts, transposed=False) -> bool:
+    """Nibble-packed payloads: byte j of a code holds subspace 2j in its
+    low nibble and 2j+1 in its high nibble (ksub must be 16). Detected
+    by shape so legacy unpacked 4-bit artifacts keep working."""
+    mb_axis = 1 if transposed else 2
+    return (luts.shape[2] == 16
+            and codes3.shape[mb_axis] * 2 == luts.shape[1])
+
+
+def _adc_kernel_t(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *,
+                  seg, m, ksub, packed):
+    """Transposed-payload variant: the codes tile is [MB, SEG] (one
+    sublane per payload byte, one lane per row) — the layout whose HBM
+    tiling is exact (see lists.CSRLists). The one-hot expansion runs
+    over SUBLANES (pltpu.repeat axis=0) and the LUT arrives as a
+    sublane-major column [*, 1], so the per-row reduction is a plain
+    sublane sum landing directly in the [1, SEG] output row."""
+    del seg_ids, q_ids
+    codes = codes_ref[0].astype(jnp.int32)          # [MB, SEG]
+    mbytes = codes.shape[0]
+    # VMEM budget: onehot intermediate is [mc*ksub, SEG] f32 — keep the
+    # expanded sublane count <= 8M/4/SEG
+    sub_budget = max(ksub, (8 << 20) // 4 // seg)
+    mc = max(1, min(mbytes, sub_budget // ksub))
+    n_ch = mbytes // mc
+    halves = ((lambda b: (b & 0xF, b >> 4)) if packed
+              else (lambda b: (b,)))
+
+    acc = jnp.zeros((1, seg), jnp.float32)
+    for ch in range(n_ch):
+        blk = codes[ch * mc : (ch + 1) * mc, :]
+        pattern = lax.broadcasted_iota(jnp.int32, (mc * ksub, seg), 0) // mc
+        for half, nib in enumerate(halves(blk)):
+            rep = pltpu.repeat(nib, ksub, axis=0)   # sublane s: nib[s % mc]
+            onehot = (rep == pattern).astype(jnp.float32)
+            lutcol = (lut_ref[0, ch, half] if packed
+                      else lut_ref[0, ch])          # [mc*ksub, 1]
+            acc += jnp.sum(onehot * lutcol, axis=0, keepdims=True)
+    out_ref[0, 0, :] = acc[0]
+
+
+def _adc_kernel_packed4(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *,
+                        seg, mb, ksub):
+    """Packed-nibble variant: the codes tile is [SEG, MB] uint8 carrying
+    M = 2*MB 4-bit codes — half the DMA bytes of the unpacked tile (the
+    scan is HBM-bound at production list sizes). Two compare passes per
+    chunk (low nibbles, then high) against lane-reordered LUT halves."""
+    del seg_ids, q_ids
+    codes = codes_ref[0].astype(jnp.int32)          # [SEG, MB]
+    mc = max(1, min(mb, 2048 // ksub))              # lanes/pass = mc*ksub
+    n_ch = mb // mc
+    lanes = mc * ksub
+
+    acc = jnp.zeros((seg, 1), jnp.float32)
+    for ch in range(n_ch):
+        blk = codes[:, ch * mc : (ch + 1) * mc]
+        pattern = lax.broadcasted_iota(jnp.int32, (seg, lanes), 1) // mc
+        for half, nib in enumerate((blk & 0xF, blk >> 4)):
+            rep = pltpu.repeat(nib, ksub, axis=1)   # lane l: nib[:, l % mc]
+            onehot = (rep == pattern).astype(jnp.float32)
+            # lut block is [1, n_ch, 2, ksub*mc]: indexing the size-2
+            # half axis (not lane-slicing) keeps lanes whole — static
+            # lane slices below 128 alignment are a Mosaic hazard
+            lutrow = lut_ref[0, ch, half : half + 1, :]      # [1, lanes]
+            acc += jnp.sum(onehot * lutrow, axis=1, keepdims=True)
+    out_ref[0, 0, :] = acc[:, 0]
+
+
 def _adc_kernel(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *, seg, m, ksub):
     del seg_ids, q_ids  # consumed by the index_maps
     codes = codes_ref[0].astype(jnp.int32)          # [SEG, M]
@@ -62,10 +130,13 @@ def _adc_kernel(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *, seg, m, ksub):
     out_ref[0, 0, :] = acc[:, 0]
 
 
-def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None):
+def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
+                    transposed=False):
     """Per-slot ADC scores.
 
     codes3:  [n_segs, SEG, M] uint8 packed list payloads
+             (or [n_segs, MB, SEG] with transposed=True — the
+             lane-compact production layout, lists.CSRLists)
     luts:    [Q, M, ksub] f32 per-query LUTs
     seg_ids: [n_slots] int32 segment per slot (pre-clamped to valid range)
     q_ids:   [n_slots] int32 LUT (query) per slot. Keep slots of one
@@ -77,38 +148,123 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None):
              query id for the same reason.
     returns: [n_slots, SEG] f32 raw ADC sums
     """
-    n_segs, seg, m = codes3.shape
-    q, m2, ksub = luts.shape
-    assert m == m2
+    if transposed:
+        n_segs, mbytes, seg = codes3.shape
+    else:
+        n_segs, seg, mbytes = codes3.shape
+    q, m, ksub = luts.shape
+    packed = _is_packed(codes3, luts, transposed)
+    assert mbytes == (m // 2 if packed else m)
     n_slots = seg_ids.shape[0]
     assert q_ids.shape == (n_slots,)
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    # pre-flatten LUTs value-major per m-chunk (in XLA, where reshapes
-    # are free): luts_vm[q, ch, c*mc + ml] = luts[q, ch*mc + ml, c]
-    mc = _mchunk(m, ksub)
-    n_ch = m // mc
-    luts_vm = (
-        luts.astype(jnp.float32)
-        .reshape(q, n_ch, mc, ksub)
-        .transpose(0, 1, 3, 2)
-        .reshape(q, n_ch, ksub * mc)
-    )
+    if transposed:
+        # sublane-major LUT columns matching _adc_kernel_t's (repeat
+        # axis=0, iota//mc) encoding; trailing unit lane dim
+        sub_budget = max(ksub, (8 << 20) // 4 // seg)
+        mc = max(1, min(mbytes, sub_budget // ksub))
+        n_ch = mbytes // mc
+        lf = luts.astype(jnp.float32)
+        if packed:
+            luts_vm = (
+                lf.reshape(q, n_ch, mc, 2, ksub)
+                .transpose(0, 1, 3, 4, 2)
+                .reshape(q, n_ch, 2, ksub * mc, 1)
+            )
+            lut_spec = pl.BlockSpec(
+                (1, n_ch, 2, ksub * mc, 1),
+                lambda i, sids, qids: (qids[i], 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        else:
+            luts_vm = (
+                lf.reshape(q, n_ch, mc, ksub)
+                .transpose(0, 1, 3, 2)
+                .reshape(q, n_ch, ksub * mc, 1)
+            )
+            lut_spec = pl.BlockSpec(
+                (1, n_ch, ksub * mc, 1),
+                lambda i, sids, qids: (qids[i], 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        kernel = functools.partial(_adc_kernel_t, seg=seg, m=m, ksub=ksub,
+                                   packed=packed)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_slots,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, mbytes, seg), lambda i, sids, qids: (sids[i], 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                lut_spec,
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, seg), lambda i, sids, qids: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((n_slots, 1, seg), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * n_slots * seg * m * ksub,
+                bytes_accessed=n_slots * (seg * mbytes + seg * 4)
+                + q * m * ksub * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(seg_ids.astype(jnp.int32), q_ids.astype(jnp.int32), codes3, luts_vm)
+        return out.reshape(n_slots, seg)
 
-    kernel = functools.partial(_adc_kernel, seg=seg, m=m, ksub=ksub)
+    if packed:
+        # lane-reorder per nibble half: luts_pk[q, ch, h, c*mc + jj] =
+        # luts[q, 2*(ch*mc + jj) + h, c] — matches the packed kernel's
+        # (repeat, iota // mc) lane encoding per half
+        mb = mbytes
+        mc = max(1, min(mb, 2048 // ksub))
+        n_ch = mb // mc
+        luts_vm = (
+            luts.astype(jnp.float32)
+            .reshape(q, n_ch, mc, 2, ksub)
+            .transpose(0, 1, 3, 4, 2)
+            .reshape(q, n_ch, 2, ksub * mc)
+        )
+        kernel = functools.partial(_adc_kernel_packed4, seg=seg, mb=mb,
+                                   ksub=ksub)
+        lut_spec = pl.BlockSpec(
+            (1, n_ch, 2, ksub * mc), lambda i, sids, qids: (qids[i], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        # pre-flatten LUTs value-major per m-chunk (in XLA, where reshapes
+        # are free): luts_vm[q, ch, c*mc + ml] = luts[q, ch*mc + ml, c]
+        mc = _mchunk(m, ksub)
+        n_ch = m // mc
+        luts_vm = (
+            luts.astype(jnp.float32)
+            .reshape(q, n_ch, mc, ksub)
+            .transpose(0, 1, 3, 2)
+            .reshape(q, n_ch, ksub * mc)
+        )
+        kernel = functools.partial(_adc_kernel, seg=seg, m=m, ksub=ksub)
+        lut_spec = pl.BlockSpec(
+            (1, n_ch, ksub * mc), lambda i, sids, qids: (qids[i], 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_slots,),
         in_specs=[
             pl.BlockSpec(
-                (1, seg, m), lambda i, sids, qids: (sids[i], 0, 0),
+                (1, seg, mbytes), lambda i, sids, qids: (sids[i], 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(
-                (1, n_ch, ksub * mc), lambda i, sids, qids: (qids[i], 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            lut_spec,
         ],
         # 3-D output so the (sublane, lane) block dims are (1==full, seg):
         # Mosaic requires the last two block dims divide (8, 128) or
@@ -132,11 +288,18 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None):
     return out.reshape(n_slots, seg)
 
 
-def adc_scan_xla(codes3, luts, seg_ids, q_ids):
+def adc_scan_xla(codes3, luts, seg_ids, q_ids, *, transposed=False):
     """XLA reference with identical semantics (gather-based)."""
-    n_segs, seg, m = codes3.shape
-    q, _, ksub = luts.shape
-    codes = jnp.take(codes3, seg_ids, axis=0).astype(jnp.int32)       # [S, SEG, M]
+    packed = _is_packed(codes3, luts, transposed)
+    q, m, ksub = luts.shape
+    codes = jnp.take(codes3, seg_ids, axis=0).astype(jnp.int32)
+    if transposed:                                  # [S, MB, SEG] -> [S, SEG, MB]
+        codes = codes.transpose(0, 2, 1)
+    seg = codes.shape[1]
+    if packed:
+        # byte j -> (subspace 2j, subspace 2j+1)
+        codes = jnp.stack([codes & 0xF, codes >> 4], axis=-1)
+        codes = codes.reshape(codes.shape[0], seg, m)
     offs = (jnp.arange(m, dtype=jnp.int32) * ksub)[None, None, :]
     lut_flat = luts.reshape(q, m * ksub)
     lut_rows = jnp.take(lut_flat, q_ids, axis=0)                      # [S, M*ksub]

@@ -232,17 +232,19 @@ def phase_devserve(args):
     rtt = measure_rtt()
 
     t0 = time.time()
-    try:
-        idx = IVFPQIndex.load(out / "index", storage="device",
-                              scan_impl=args.scan_impl)
-        storage = "device"
-    except Exception as e:  # HBM exhausted: serve hybrid
-        print(f"device install failed ({type(e).__name__}: {e}); "
-              f"reloading hybrid", flush=True)
+    storage = args.devserve_storage
+    if storage == "device":
+        try:
+            idx = IVFPQIndex.load(out / "index", storage="device",
+                                  scan_impl=args.scan_impl)
+        except Exception as e:  # HBM exhausted: serve hybrid
+            print(f"device install failed ({type(e).__name__}: {e}); "
+                  f"reloading hybrid", flush=True)
+            storage = "hybrid"
+    if storage == "hybrid":
         idx = IVFPQIndex.load(out / "index", storage="hybrid",
-                              hot_budget_bytes=args.hot_budget_gb * (1 << 30),
+                              hot_budget_bytes=int(args.hot_budget_gb * (1 << 30)),
                               scan_impl=args.scan_impl)
-        storage = "hybrid"
     print(f"{storage} load+install: {time.time()-t0:.0f}s", flush=True)
 
     rows = _sweep(idx, q, ref, rtt, out)
@@ -321,6 +323,10 @@ def main():
                          "via --phase devserve)")
     ap.add_argument("--hot-budget-gb", type=float, default=12.0,
                     help="devserve hybrid-fallback HBM budget")
+    ap.add_argument("--devserve-storage", default="device",
+                    choices=("device", "hybrid"),
+                    help="force hybrid when a device install HANGS "
+                         "rather than raising (HBM-edge indexes)")
     args = ap.parse_args()
     if args.chunk_rows:
         global CH

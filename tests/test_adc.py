@@ -41,3 +41,56 @@ def test_adc_scan_matches_reference(rng, ksub, m):
     np.testing.assert_allclose(got_xla, ref, rtol=1e-5, atol=1e-5)
     # pallas path accumulates the one-hot matvec in bf16 inputs/f32 acc
     np.testing.assert_allclose(got_pl, ref, rtol=2e-2, atol=2e-2)
+
+
+def test_adc_scan_packed_nibbles_matches_unpacked(rng):
+    """Nibble-packed 4-bit payloads (byte j = subspace 2j low, 2j+1
+    high — the storage format that makes M x 4 bit a true M/2 bytes)
+    must score identically to the unpacked layout, in both impls."""
+    ksub, m = 16, 8
+    n_segs, seg, q, spq = 6, 16, 3, 4
+    n_slots = q * spq
+    codes = rng.integers(0, ksub, (n_segs, seg, m), dtype=np.uint8)
+    packed = codes[..., 0::2] | (codes[..., 1::2] << 4)     # [.., m/2]
+    luts = rng.standard_normal((q, m, ksub)).astype(np.float32)
+    seg_ids = rng.integers(0, n_segs, n_slots).astype(np.int32)
+    q_ids = np.repeat(np.arange(q, dtype=np.int32), spq)
+
+    ref = _ref(codes, luts, seg_ids, q_ids)
+    got_xla = np.asarray(adc_scan_xla(
+        jnp.asarray(packed), jnp.asarray(luts), jnp.asarray(seg_ids),
+        jnp.asarray(q_ids)))
+    got_pl = np.asarray(adc_scan_pallas(
+        jnp.asarray(packed), jnp.asarray(luts), jnp.asarray(seg_ids),
+        jnp.asarray(q_ids), interpret=True))
+
+    np.testing.assert_allclose(got_xla, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pl, ref, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("ksub,m", [(16, 8), (256, 4)])
+def test_adc_scan_transposed_matches_reference(rng, ksub, m):
+    """Transposed [MB, SEG] payloads (the lane-compact production
+    layout — lists.CSRLists) must score identically to row-major."""
+    n_segs, seg, q, spq = 6, 16, 3, 4
+    n_slots = q * spq
+    codes = rng.integers(0, ksub, (n_segs, seg, m), dtype=np.uint8)
+    if ksub == 16:
+        wire = codes[..., 0::2] | (codes[..., 1::2] << 4)  # packed too
+    else:
+        wire = codes
+    codes_t = np.ascontiguousarray(wire.transpose(0, 2, 1))  # [n_segs, MB, SEG]
+    luts = rng.standard_normal((q, m, ksub)).astype(np.float32)
+    seg_ids = rng.integers(0, n_segs, n_slots).astype(np.int32)
+    q_ids = np.repeat(np.arange(q, dtype=np.int32), spq)
+
+    ref = _ref(codes, luts, seg_ids, q_ids)
+    got_xla = np.asarray(adc_scan_xla(
+        jnp.asarray(codes_t), jnp.asarray(luts), jnp.asarray(seg_ids),
+        jnp.asarray(q_ids), transposed=True))
+    got_pl = np.asarray(adc_scan_pallas(
+        jnp.asarray(codes_t), jnp.asarray(luts), jnp.asarray(seg_ids),
+        jnp.asarray(q_ids), interpret=True, transposed=True))
+
+    np.testing.assert_allclose(got_xla, ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got_pl, ref, rtol=2e-2, atol=2e-2)

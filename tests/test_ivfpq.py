@@ -217,3 +217,29 @@ def test_fused_scan_transfer_is_integer_typed(rng):
     flat = idx._search_cache[scan_keys[-1]](
         probes, bias, luts, *idx._dev_arrays, *idx._csr_dev)
     assert jnp.issubdtype(flat.dtype, jnp.integer), flat.dtype
+
+
+def test_ivfpq_4bit_codes_are_nibble_packed(rng, tmp_path):
+    """The default fastscan-style config (M x 4 bit) must STORE M/2
+    bytes per vector — the faiss 64 B/vector memory budget is a parity
+    claim, not just a logical one — and survive an artifact roundtrip."""
+    n, d, m = 3000, 32, 8
+    x = _normed(rng, n, d)
+    q = _queries_near(rng, x, 8)
+    idx = IVFPQIndex(8, d, pq_m=m, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0)
+    idx.train(x, kmeans_iters=4, pq_iters=4)
+    idx.fill(x)
+    assert idx.code_bytes == m // 2
+    # transposed segment blocks: [MB, SEG] (lists.CSRLists)
+    assert idx.packed.transposed
+    assert idx.packed.data.shape[1] == m // 2
+
+    v1, p1 = idx.search(q, 5, nprobe=8)
+    idx.save(tmp_path / "art")
+    idx2 = IVFPQIndex.load(tmp_path / "art")
+    assert idx2.packed.transposed
+    assert idx2.packed.data.shape[1] == m // 2
+    v2, p2 = idx2.search(q, 5, nprobe=8)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
