@@ -60,9 +60,10 @@ def _adc_kernel_t(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *,
     del seg_ids, q_ids
     codes = codes_ref[0].astype(jnp.int32)          # [MB, SEG]
     mbytes = codes.shape[0]
-    # VMEM budget: onehot intermediate is [mc*ksub, SEG] f32 — keep the
-    # expanded sublane count <= 8M/4/SEG
-    sub_budget = max(ksub, (8 << 20) // 4 // seg)
+    # VMEM budget: the expanded one-hot chain is ~2x [mc*ksub, SEG] f32
+    # of kernel stack; a 8M f32 budget measured 16.12M scoped vmem at
+    # seg=1024 (limit 16M) on chip — keep the expansion at 4M
+    sub_budget = max(ksub, (4 << 20) // 4 // seg)
     mc = max(1, min(mbytes, sub_budget // ksub))
     n_ch = mbytes // mc
     halves = ((lambda b: (b & 0xF, b >> 4)) if packed
@@ -163,7 +164,7 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
     if transposed:
         # sublane-major LUT columns matching _adc_kernel_t's (repeat
         # axis=0, iota//mc) encoding; trailing unit lane dim
-        sub_budget = max(ksub, (8 << 20) // 4 // seg)
+        sub_budget = max(ksub, (4 << 20) // 4 // seg)
         mc = max(1, min(mbytes, sub_budget // ksub))
         n_ch = mbytes // mc
         lf = luts.astype(jnp.float32)
