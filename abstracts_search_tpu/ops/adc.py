@@ -53,32 +53,38 @@ def _adc_kernel_t(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *,
                   seg, m, ksub, packed):
     """Transposed-payload variant: the codes tile is [MB, SEG] (one
     sublane per payload byte, one lane per row) — the layout whose HBM
-    tiling is exact (see lists.CSRLists). The one-hot expansion runs
-    over SUBLANES (pltpu.repeat axis=0) and the LUT arrives as a
-    sublane-major column [*, 1], so the per-row reduction is a plain
-    sublane sum landing directly in the [1, SEG] output row."""
+    tiling is exact (see lists.CSRLists).
+
+    Formulated as a VALUE loop (fori over the ksub code values, LUT
+    column dynamically indexed per value): each iteration touches only
+    [MB, SEG]-shaped buffers, so kernel VMEM stays ~1 MB regardless of
+    ksub/seg. The earlier sublane one-hot EXPANSION ([mc*ksub, SEG]
+    intermediates, statically unrolled chunks) measured 16.12M of
+    scoped VMEM against the 16M stack limit at seg=1024 on chip — the
+    same static-unroll stack overflow CLAUDE.md records for k>=64
+    top-k unrolls. Same op count either way: sum_c (codes==c)*lut[c]."""
     del seg_ids, q_ids
     codes = codes_ref[0].astype(jnp.int32)          # [MB, SEG]
-    mbytes = codes.shape[0]
-    # VMEM budget: the expanded one-hot chain is ~2x [mc*ksub, SEG] f32
-    # of kernel stack; a 8M f32 budget measured 16.12M scoped vmem at
-    # seg=1024 (limit 16M) on chip — keep the expansion at 4M
-    sub_budget = max(ksub, (4 << 20) // 4 // seg)
-    mc = max(1, min(mbytes, sub_budget // ksub))
-    n_ch = mbytes // mc
-    halves = ((lambda b: (b & 0xF, b >> 4)) if packed
-              else (lambda b: (b,)))
 
-    acc = jnp.zeros((1, seg), jnp.float32)
-    for ch in range(n_ch):
-        blk = codes[ch * mc : (ch + 1) * mc, :]
-        pattern = lax.broadcasted_iota(jnp.int32, (mc * ksub, seg), 0) // mc
-        for half, nib in enumerate(halves(blk)):
-            rep = pltpu.repeat(nib, ksub, axis=0)   # sublane s: nib[s % mc]
-            onehot = (rep == pattern).astype(jnp.float32)
-            lutcol = (lut_ref[0, ch, half] if packed
-                      else lut_ref[0, ch])          # [mc*ksub, 1]
-            acc += jnp.sum(onehot * lutcol, axis=0, keepdims=True)
+    if packed:
+        lo = codes & 0xF
+        hi = codes >> 4
+
+        def body(c, acc):
+            lut_lo = lut_ref[0, c, 0]               # [MB, 1]
+            lut_hi = lut_ref[0, c, 1]
+            acc += jnp.sum((lo == c).astype(jnp.float32) * lut_lo,
+                           axis=0, keepdims=True)
+            acc += jnp.sum((hi == c).astype(jnp.float32) * lut_hi,
+                           axis=0, keepdims=True)
+            return acc
+    else:
+        def body(c, acc):
+            lutc = lut_ref[0, c]                    # [MB, 1]
+            return acc + jnp.sum((codes == c).astype(jnp.float32) * lutc,
+                                 axis=0, keepdims=True)
+
+    acc = lax.fori_loop(0, ksub, body, jnp.zeros((1, seg), jnp.float32))
     out_ref[0, 0, :] = acc[0]
 
 
@@ -162,31 +168,27 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
         interpret = jax.default_backend() != "tpu"
 
     if transposed:
-        # sublane-major LUT columns matching _adc_kernel_t's (repeat
-        # axis=0, iota//mc) encoding; trailing unit lane dim
-        sub_budget = max(ksub, (4 << 20) // 4 // seg)
-        mc = max(1, min(mbytes, sub_budget // ksub))
-        n_ch = mbytes // mc
+        # value-major LUT columns for _adc_kernel_t's fori-over-values:
+        # lut_vm[q, c, (half,) j, 0] = luts[q, subspace(j, half), c]
         lf = luts.astype(jnp.float32)
         if packed:
             luts_vm = (
-                lf.reshape(q, n_ch, mc, 2, ksub)
-                .transpose(0, 1, 3, 4, 2)
-                .reshape(q, n_ch, 2, ksub * mc, 1)
+                lf.reshape(q, mbytes, 2, ksub)
+                .transpose(0, 3, 2, 1)
+                .reshape(q, ksub, 2, mbytes, 1)
             )
             lut_spec = pl.BlockSpec(
-                (1, n_ch, 2, ksub * mc, 1),
+                (1, ksub, 2, mbytes, 1),
                 lambda i, sids, qids: (qids[i], 0, 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
         else:
             luts_vm = (
-                lf.reshape(q, n_ch, mc, ksub)
-                .transpose(0, 1, 3, 2)
-                .reshape(q, n_ch, ksub * mc, 1)
+                lf.transpose(0, 2, 1)
+                .reshape(q, ksub, mbytes, 1)
             )
             lut_spec = pl.BlockSpec(
-                (1, n_ch, ksub * mc, 1),
+                (1, ksub, mbytes, 1),
                 lambda i, sids, qids: (qids[i], 0, 0, 0),
                 memory_space=pltpu.VMEM,
             )
