@@ -219,6 +219,11 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
                 + q * m * ksub * 4,
                 transcendentals=0,
             ),
+            # Mosaic's default scoped-VMEM limit is 16M; embedded in the
+            # full scan program at 207M shapes the instance wants 16.12M
+            # (measured on chip) and the COMPILE fails. v5e has 128M of
+            # VMEM — give the kernel real headroom.
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
             interpret=interpret,
         )(seg_ids.astype(jnp.int32), q_ids.astype(jnp.int32), codes3, luts_vm)
         return out.reshape(n_slots, seg)
@@ -281,6 +286,7 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_slots, 1, seg), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         cost_estimate=pl.CostEstimate(
             flops=2 * n_slots * seg * m * ksub,
             bytes_accessed=n_slots * (seg * m + seg * 4) + q * m * ksub * 4,
