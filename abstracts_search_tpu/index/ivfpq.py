@@ -771,37 +771,53 @@ class IVFPQIndex:
     # -- search: phase 3 (scan) --------------------------------------------------------
 
     def _adc_fn(self):
+        """-> ("topk", fn) fused per-slot scan+top-k (transposed
+        artifacts: the production path — the [n_slots, SEG] scores
+        matrix never exists), or ("scores", fn) for legacy row-major
+        artifacts. The XLA variant of each doubles as the CPU oracle."""
         import functools
 
-        from ..ops.adc import adc_scan_pallas, adc_scan_xla
+        from ..ops.adc import (adc_scan_pallas, adc_scan_xla,
+                               adc_topk_pallas, adc_topk_xla)
 
         scan = self.scan_impl
         if scan == "auto":
             scan = "slots" if jax.default_backend() == "tpu" else "map"
-        fn = adc_scan_xla if scan in ("map", "xla") else adc_scan_pallas
-        # payload orientation comes from the artifact (legacy row-major
-        # artifacts stay servable; new packs are transposed)
-        return functools.partial(fn, transposed=self.packed.transposed)
+        xla = scan in ("map", "xla")
+        if self.packed.transposed:
+            fn = adc_topk_xla if xla else adc_topk_pallas
+            return "topk", functools.partial(fn, transposed=True)
+        fn = adc_scan_xla if xla else adc_scan_pallas
+        return "scores", functools.partial(fn, transposed=False)
 
-    def _scan_body(self, qn: int, k: int, nprobe: int, adc):
+    def _scan_body(self, qn: int, k: int, nprobe: int, adc_tagged):
         """Shared slot-scan body: per-slot ADC -> per-slot top-k ->
         ragged per-query merge -> positions. Used by both storage modes
         (device mode indexes segments by id; host mode pre-gathers
         tiles so seg_ids double as tile indices)."""
+        kind, adc = adc_tagged
         seg = self.seg_size
 
         def body(slot_bias, live_slot, luts, codes3, row_ids, seg_valid,
                  seg_ids, q_ids, slots_of_q):
-            scores = adc(codes3, luts, seg_ids, q_ids)          # [bucket, SEG]
-            scores = scores + slot_bias[:, None]
-            row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
-            live = live_slot[:, None] & (
-                row_iota < jnp.take(seg_valid, seg_ids)[:, None]
-            )
-            scores = jnp.where(live, scores, NEG_INF)
-
             kp = min(k, seg)
-            sv, si = lax.top_k(scores, kp)                      # [bucket, kp]
+            if kind == "topk":
+                # fused: the kernel masks and selects per slot; bias is
+                # constant within a slot so it commutes with top-k and
+                # is added to the kp winners only
+                valid_cnt = jnp.where(
+                    live_slot, jnp.take(seg_valid, seg_ids), 0)
+                sv, si = adc(codes3, luts, seg_ids, q_ids, valid_cnt, kp)
+                sv = sv + slot_bias[:, None]                    # [bucket, kp]
+            else:
+                scores = adc(codes3, luts, seg_ids, q_ids)      # [bucket, SEG]
+                scores = scores + slot_bias[:, None]
+                row_iota = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+                live = live_slot[:, None] & (
+                    row_iota < jnp.take(seg_valid, seg_ids)[:, None]
+                )
+                scores = jnp.where(live, scores, NEG_INF)
+                sv, si = lax.top_k(scores, kp)                  # [bucket, kp]
             srows = seg_ids[:, None] * seg + si                 # flat row index
 
             sq = jnp.clip(slots_of_q, 0, None).reshape(-1)      # [Q*maxcnt]

@@ -316,3 +316,142 @@ def adc_scan_xla(codes3, luts, seg_ids, q_ids, *, transposed=False):
         lut_rows[:, None, :], codes + offs, axis=2
     )                                                                  # [S, SEG, M]
     return jnp.sum(vals, axis=-1)
+
+
+def _adc_topk_kernel_t(seg_ids, q_ids, valid_cnt, codes_ref, lut_ref,
+                       outv_ref, outi_ref, *, seg, m, ksub, kp, packed):
+    """Fused transposed scan + per-slot top-k.
+
+    The scores-matrix formulation writes [n_slots, SEG] f32 to HBM (36
+    MB per 207M batch) and feeds it to lax.top_k — measured as the
+    dominant cost of the hot path at scale (benchmarks/RESULTS.md 207M
+    section). Here the running row stays in registers/VMEM and only
+    [n_slots, kp] winners leave the kernel: validity masking in-kernel
+    (valid_cnt scalar-prefetched), kp rounds of the max/argmax/mask
+    idiom (ops/topk.py — Mosaic has no sort). The per-slot bias is NOT
+    added here: it is constant within a slot, so top-k commutes with it
+    and the caller adds it to the kp winners instead.
+    """
+    del seg_ids, q_ids
+    i = pl.program_id(0)
+    codes = codes_ref[0].astype(jnp.int32)          # [MB, SEG]
+
+    if packed:
+        lo = codes & 0xF
+        hi = codes >> 4
+
+        def body(c, acc):
+            acc += jnp.sum((lo == c).astype(jnp.float32) * lut_ref[0, c, 0],
+                           axis=0, keepdims=True)
+            acc += jnp.sum((hi == c).astype(jnp.float32) * lut_ref[0, c, 1],
+                           axis=0, keepdims=True)
+            return acc
+    else:
+        def body(c, acc):
+            return acc + jnp.sum((codes == c).astype(jnp.float32)
+                                 * lut_ref[0, c], axis=0, keepdims=True)
+
+    row = lax.fori_loop(0, ksub, body, jnp.zeros((1, seg), jnp.float32))
+    cols = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
+    row = jnp.where(cols < valid_cnt[i], row, -jnp.inf)
+
+    sel_vals, sel_idx = [], []
+    for _ in range(kp):
+        mx = jnp.max(row, axis=1, keepdims=True)           # [1, 1]
+        am = jnp.argmax(row, axis=1).reshape(1, 1)
+        sel = cols == am
+        sel_vals.append(mx)
+        sel_idx.append(am)
+        row = jnp.where(sel, -jnp.inf, row)
+    outv_ref[0, 0, :] = jnp.concatenate(sel_vals, axis=1)[0]
+    outi_ref[0, 0, :] = jnp.concatenate(sel_idx, axis=1)[0]
+
+
+def adc_topk_pallas(codes3, luts, seg_ids, q_ids, valid_cnt, kp, *,
+                    interpret=None, transposed=True):
+    """Fused per-slot (scan -> mask -> top-kp): returns
+    (vals [n_slots, kp] f32 raw ADC sums, rows [n_slots, kp] i32
+    row-within-segment). Transposed payloads only (the production
+    layout); the XLA twin `adc_topk_xla` covers both layouts and is the
+    CPU oracle."""
+    assert transposed, "fused scan+topk requires transposed payloads"
+    n_segs, mbytes, seg = codes3.shape
+    q, m, ksub = luts.shape
+    packed = _is_packed(codes3, luts, transposed=True)
+    assert mbytes == (m // 2 if packed else m)
+    n_slots = seg_ids.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    lf = luts.astype(jnp.float32)
+    if packed:
+        luts_vm = (
+            lf.reshape(q, mbytes, 2, ksub)
+            .transpose(0, 3, 2, 1)
+            .reshape(q, ksub, 2, mbytes, 1)
+        )
+        lut_spec = pl.BlockSpec(
+            (1, ksub, 2, mbytes, 1),
+            lambda i, sids, qids, vcnt: (qids[i], 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        luts_vm = lf.transpose(0, 2, 1).reshape(q, ksub, mbytes, 1)
+        lut_spec = pl.BlockSpec(
+            (1, ksub, mbytes, 1),
+            lambda i, sids, qids, vcnt: (qids[i], 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(_adc_topk_kernel_t, seg=seg, m=m, ksub=ksub,
+                               kp=kp, packed=packed)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_slots,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, mbytes, seg), lambda i, sids, qids, vcnt: (sids[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            lut_spec,
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, kp), lambda i, sids, qids, vcnt: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, kp), lambda i, sids, qids, vcnt: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+    )
+    outv, outi = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_slots, 1, kp), jnp.float32),
+            jax.ShapeDtypeStruct((n_slots, 1, kp), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_slots * seg * m * ksub,
+            bytes_accessed=n_slots * (seg * mbytes + 8 * kp)
+            + q * m * ksub * 4,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
+        interpret=interpret,
+    )(seg_ids.astype(jnp.int32), q_ids.astype(jnp.int32),
+      valid_cnt.astype(jnp.int32), codes3, luts_vm)
+    return outv.reshape(n_slots, kp), outi.reshape(n_slots, kp)
+
+
+def adc_topk_xla(codes3, luts, seg_ids, q_ids, valid_cnt, kp, *,
+                 transposed=False):
+    """XLA twin of adc_topk_pallas (both payload layouts; CPU oracle)."""
+    scores = adc_scan_xla(codes3, luts, seg_ids, q_ids,
+                          transposed=transposed)
+    seg = scores.shape[1]
+    cols = lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(cols < valid_cnt[:, None], scores, -jnp.inf)
+    return lax.top_k(scores, kp)
