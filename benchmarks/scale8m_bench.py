@@ -141,7 +141,7 @@ def phase_build(args):
 
     # train (the bounded-memory big-sample path: > 1 GiB triggers the
     # rotate-to-memmap + streamed k-means branch)
-    idx = IVFPQIndex(args.lists, D, pq_m=args.pq_m, pq_nbits=8,
+    idx = IVFPQIndex(args.lists, D, pq_m=args.pq_m, pq_nbits=args.pq_nbits,
                      use_opq=not args.no_opq, mesh=build_mesh(),
                      seg_size=args.seg, chunk=2048, seed=0,
                      scan_impl=args.scan_impl, storage=args.storage)
@@ -313,6 +313,7 @@ def main():
     ap.add_argument("--chunk-rows", type=int, default=None,
                     help="override CH (CPU smoke runs)")
     ap.add_argument("--pq-m", type=int, default=64)
+    ap.add_argument("--pq-nbits", type=int, default=8)
     ap.add_argument("--no-opq", action="store_true")
     ap.add_argument("--kmeans-iters", type=int, default=6)
     ap.add_argument("--scan-impl", default="slots",
