@@ -86,9 +86,17 @@ def measure_rtt(reps=20):
     return (time.time() - t0) / reps
 
 
-def rss_gb() -> float:
+def rss_gb(field: str = "VmHWM") -> float:
+    """Peak RSS ("VmHWM") or current anonymous RSS ("RssAnon"), GiB.
+
+    At 207M the lists memmap is ~14 GB: merely READING it through the
+    page cache raises VmHWM by file-backed pages that the kernel can
+    evict at will — they are cache, not requirement. The capacity claim
+    ("a 16 GB machine", reference README.md:33) is about ANONYMOUS
+    memory, so the hostserve assertion tracks RssAnon across batches.
+    """
     for line in Path("/proc/self/status").read_text().splitlines():
-        if line.startswith("VmHWM"):
+        if line.startswith(field):
             return int(line.split()[1]) / (1 << 20)  # kB -> GiB
     return float("nan")
 
@@ -281,22 +289,28 @@ def phase_hostserve(args):
     bs = 32
     t0 = time.time()
     recalls = []
+    anon_peak = 0.0
     for lo in range(0, NQ, bs):
         _, pos = idx.search(q[lo:lo + bs], K, nprobe=nprobe)
         recalls += [len(set(pos[i]) & set(ref[lo + i])) / K
                     for i in range(len(pos))]
+        anon_peak = max(anon_peak, rss_gb("RssAnon"))
     dt = time.time() - t0
     recall = float(np.mean(recalls))
     dev_recall = next(r["recall"] for r in dev_rows if r["nprobe"] == nprobe)
-    peak = rss_gb()
+    peak = rss_gb("VmHWM")
     print(f"host nprobe={nprobe}: recall@10={recall:.3f} "
           f"(device run: {dev_recall:.3f}) QPS={NQ/dt:.1f} "
           f"(tunnel-bound; PCIe-attached would be ~100x) "
-          f"VmHWM={peak:.2f} GiB", flush=True)
+          f"RssAnon peak={anon_peak:.2f} GiB "
+          f"(VmHWM={peak:.2f} GiB incl. evictable memmap cache)", flush=True)
     assert abs(recall - dev_recall) < 0.02, (recall, dev_recall)
-    assert peak < args.rss_gb, f"RSS {peak:.2f} GiB >= {args.rss_gb} GiB"
+    assert anon_peak < args.rss_gb, \
+        f"anon RSS {anon_peak:.2f} GiB >= {args.rss_gb} GiB"
     print(json.dumps({"host_recall": recall, "device_recall": dev_recall,
-                      "rss_gib": round(peak, 2), "qps_tunnel": round(NQ / dt, 1)}))
+                      "anon_rss_gib": round(anon_peak, 2),
+                      "vmhwm_gib": round(peak, 2),
+                      "qps_tunnel": round(NQ / dt, 1)}))
 
 
 def main():
