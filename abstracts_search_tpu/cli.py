@@ -245,6 +245,8 @@ def cmd_convert_model(args, cfg):
 
     if args.model:
         cfg = cfg.replace(model_name=args.model)
+    if args.identity_head:
+        cfg = cfg.replace(identity_head=True)
     convert_and_save(cfg, args.ckpt_dir)
     print(f"converted {cfg.model_name} -> {args.ckpt_dir}")
     print(f"serve with ASTPU_CKPT={args.ckpt_dir} (torch no longer needed)")
@@ -350,6 +352,10 @@ def make_parser() -> argparse.ArgumentParser:
                         help="torch HF checkpoint -> orbax (serve without torch)")
     sp.add_argument("ckpt_dir")
     sp.add_argument("--model", help="HF model name/dir (default: configured model)")
+    sp.add_argument("--identity-head", action="store_true",
+                    help="allow an UNTRAINED identity MRL head when the "
+                         "checkpoint ships none (embeddings will not match "
+                         "the published model)")
     sp.set_defaults(fn=cmd_convert_model)
 
     sp = sub.add_parser("search", help="one-shot query against the index")

@@ -56,6 +56,11 @@ class Config:
     # orbax checkpoint dir written by `astpu convert-model`; when set,
     # serving/build restore flax weights directly (no torch at runtime)
     ckpt_dir: str = ""
+    # opt-in escape hatch: allow convert-model to substitute an UNTRAINED
+    # identity-truncation MRL head when the checkpoint ships none.
+    # Default False: a missing trained head is a hard error (a silent
+    # identity head would produce wrong embeddings with zero errors).
+    identity_head: bool = False
 
     # Shard layout
     shard_size: int = DEFAULT_SHARD_SIZE

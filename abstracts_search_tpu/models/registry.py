@@ -49,6 +49,118 @@ class HashEmbedder:
 ENCODER_META = "encoder_meta.json"
 
 
+class MRLHeadNotFound(RuntimeError):
+    """No trained MRL projection head could be located for the checkpoint.
+
+    stella ships the head as a separate sentence-transformers
+    `2_Dense_<d>` module (reference serving contract README.md:28,60) —
+    silently substituting an identity truncation would produce wrong
+    embeddings with zero errors (round-2 VERDICT missing #1), so absence
+    is a hard failure unless ``identity_head`` is explicitly requested.
+    """
+
+
+def _snapshot_dir(model_name: str):
+    """Resolve the local HF snapshot directory for ``model_name``.
+
+    A local path is used as-is; otherwise the hub cache is consulted
+    WITHOUT network (zero-egress safe). Returns None when unresolvable.
+    """
+    from pathlib import Path
+
+    p = Path(model_name)
+    if p.is_dir():
+        return p
+    try:
+        from huggingface_hub import snapshot_download
+
+        return Path(snapshot_download(model_name, local_files_only=True))
+    except Exception:
+        return None
+
+
+def _load_dense_module(module_dir):
+    """Load a sentence-transformers Dense module (linear.weight/bias).
+
+    Supports both serialization formats s-t has used:
+    ``model.safetensors`` and ``pytorch_model.bin``.
+    """
+    st = module_dir / "model.safetensors"
+    if st.is_file():
+        from safetensors.numpy import load_file
+
+        tensors = load_file(str(st))
+    else:
+        bin_path = module_dir / "pytorch_model.bin"
+        if not bin_path.is_file():
+            return None, None
+        import torch
+
+        sd = torch.load(bin_path, map_location="cpu", weights_only=True)
+        tensors = {k: v.numpy() for k, v in sd.items()}
+    w = tensors.get("linear.weight")
+    if w is None:
+        raise MRLHeadNotFound(
+            f"{module_dir} exists but has no 'linear.weight' "
+            f"(keys: {sorted(tensors)})"
+        )
+    return w, tensors.get("linear.bias")
+
+
+def _load_mrl_head(cfg: Config, sd):
+    """Locate the trained MRL head: (weight [d_out, d_in], bias|None).
+
+    Tries, in order:
+      1. ``vector_linear.{weight,bias}`` inside the AutoModel state dict
+         (some re-uploads fold the head into the model proper);
+      2. the sentence-transformers ``2_Dense_{embed_dim}`` module dir in
+         the HF snapshot (the layout the real NovaSearch/stella_en_1.5B_v5
+         uses — models/convert.py docstring), also accepting a bare
+         ``2_Dense`` dir whose output width matches;
+      3. with ``cfg.identity_head`` ONLY: an identity truncation.
+    Anything else raises MRLHeadNotFound.
+    """
+    w = sd.get("vector_linear.weight")
+    if w is not None:
+        return w, sd.get("vector_linear.bias")
+
+    snap = _snapshot_dir(cfg.model_name)
+    if snap is not None:
+        candidates = [snap / f"2_Dense_{cfg.embed_dim}", snap / "2_Dense"]
+        for mod_dir in candidates:
+            if not mod_dir.is_dir():
+                continue
+            w, b = _load_dense_module(mod_dir)
+            if w is None:
+                continue
+            if w.shape[0] != cfg.embed_dim:
+                raise MRLHeadNotFound(
+                    f"{mod_dir} projects to {w.shape[0]} dims, but "
+                    f"embed_dim={cfg.embed_dim}; point ASTPU_EMBED_DIM at "
+                    f"the matching 2_Dense_<d> module"
+                )
+            logger.info("MRL head loaded from %s", mod_dir)
+            return w, b
+
+    if cfg.identity_head:
+        logger.warning(
+            "identity_head=True: substituting an UNTRAINED identity-"
+            "truncation MRL head — embeddings will NOT match the "
+            "published %s vectors", cfg.model_name,
+        )
+        return None, None
+
+    raise MRLHeadNotFound(
+        f"no trained MRL head found for {cfg.model_name!r}: "
+        f"'vector_linear.weight' absent from the model state dict and no "
+        f"2_Dense_{cfg.embed_dim}/ (or 2_Dense/) sentence-transformers "
+        f"module in the snapshot"
+        + (f" at {snap}" if snap is not None else " (snapshot dir unresolvable)")
+        + ". Re-download the full checkpoint, or pass --identity-head to "
+        "knowingly use an untrained truncation head."
+    )
+
+
 def _convert_from_torch(cfg: Config):
     """torch HF checkpoint -> (StellaConfig, flax params). Torch is only
     imported here — the convert-time path (reference `README.md:60`
@@ -75,14 +187,13 @@ def _convert_from_torch(cfg: Config):
     )
     sd = model.state_dict()
     scfg = StellaConfig(backbone=backbone, mrl_dim=cfg.embed_dim)
-    # stella ships the MRL head as a sentence-transformers Dense
-    # module; when absent fall back to an identity-truncation head.
-    dense_w = sd.get("vector_linear.weight")
-    if dense_w is None:
+    dense_w, dense_b = _load_mrl_head(cfg, sd)
+    if dense_w is None:  # identity_head escape hatch only
         dense_w = np.eye(cfg.embed_dim, scfg.backbone.hidden_size, dtype=np.float32)
+        dense_b = None
     params = {"params": convert_stella(
         {k: v for k, v in sd.items()}, scfg.backbone.num_layers, dense_w,
-        sd.get("vector_linear.bias"),
+        dense_b,
     )}
     return scfg, params
 

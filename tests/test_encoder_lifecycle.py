@@ -44,12 +44,10 @@ def test_golden_vectors_no_torch():
     np.testing.assert_allclose(emb, z["__emb__"], rtol=1e-4, atol=1e-4)
 
 
-@pytest.fixture(scope="module")
-def tiny_hf_dir(tmp_path_factory):
-    torch = pytest.importorskip("torch")
+def _write_tiny_backbone(d):
+    import torch
     from transformers import Qwen2Config as HFConfig, Qwen2Model
 
-    d = tmp_path_factory.mktemp("hf_model")
     hf_cfg = HFConfig(
         vocab_size=128, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
@@ -58,6 +56,30 @@ def tiny_hf_dir(tmp_path_factory):
     )
     torch.manual_seed(0)
     Qwen2Model(hf_cfg).save_pretrained(d)
+
+
+def _write_dense_module(mod_dir, out_dim, in_dim=32, seed=1):
+    """A sentence-transformers 2_Dense_<d> module: the ONLY place the
+    stella MRL head ships in the real checkpoint (models/convert.py)."""
+    from safetensors.numpy import save_file
+
+    mod_dir.mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    save_file(
+        {"linear.weight": rng.standard_normal((out_dim, in_dim)).astype(np.float32),
+         "linear.bias": rng.standard_normal(out_dim).astype(np.float32)},
+        str(mod_dir / "model.safetensors"),
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_hf_dir(tmp_path_factory):
+    pytest.importorskip("torch")
+    d = tmp_path_factory.mktemp("hf_model")
+    _write_tiny_backbone(d)
+    # head ships ONLY as the sentence-transformers module, like the real
+    # NovaSearch/stella_en_1.5B_v5 snapshot (round-2 VERDICT missing #1)
+    _write_dense_module(d / "2_Dense_16", out_dim=16)
     return d
 
 
@@ -135,3 +157,83 @@ def test_checkpoint_restore_with_tp_shardings(tiny_hf_dir, tmp_path, monkeypatch
     out = emb(["hello world", "foo bar baz"])
     assert out.shape == (2, 16)
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-4)
+
+
+# ---- MRL-head fidelity (round-2 VERDICT missing #1) ----
+
+
+@pytest.fixture(scope="module")
+def headless_hf_dir(tmp_path_factory):
+    pytest.importorskip("torch")
+    d = tmp_path_factory.mktemp("hf_headless")
+    _write_tiny_backbone(d)
+    return d
+
+
+def test_dense_module_head_is_loaded_not_identity(tiny_hf_dir, tmp_path):
+    """Conversion must pick up 2_Dense_<d> weights: embeddings through a
+    trained random head differ from an identity-truncation head."""
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.models import registry
+
+    cfg = Config(model_name=str(tiny_hf_dir), embed_dim=16)
+    _, params = registry._convert_from_torch(cfg)
+    k = params["params"]["vector_linear"]["kernel"]
+    eye = np.eye(32, 16, dtype=np.float32)
+    assert not np.allclose(np.asarray(k), eye), "identity head substituted"
+    # and it is exactly the module's weights (transposed to flax layout)
+    from safetensors.numpy import load_file
+
+    w = load_file(str(tiny_hf_dir / "2_Dense_16" / "model.safetensors"))
+    np.testing.assert_allclose(np.asarray(k), w["linear.weight"].T)
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["vector_linear"]["bias"]), w["linear.bias"])
+
+
+def test_headless_snapshot_raises(headless_hf_dir):
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.models import registry
+
+    cfg = Config(model_name=str(headless_hf_dir), embed_dim=16)
+    with pytest.raises(registry.MRLHeadNotFound, match="2_Dense_16"):
+        registry._convert_from_torch(cfg)
+
+
+def test_headless_identity_escape_hatch(headless_hf_dir):
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.models import registry
+
+    cfg = Config(model_name=str(headless_hf_dir), embed_dim=16,
+                 identity_head=True)
+    _, params = registry._convert_from_torch(cfg)
+    k = np.asarray(params["params"]["vector_linear"]["kernel"])
+    np.testing.assert_allclose(k, np.eye(32, 16, dtype=np.float32))
+
+
+def test_mismatched_head_dim_raises(tiny_hf_dir):
+    """embed_dim=24 finds no 2_Dense_24; must raise, not truncate."""
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.models import registry
+
+    cfg = Config(model_name=str(tiny_hf_dir), embed_dim=24)
+    with pytest.raises(registry.MRLHeadNotFound):
+        registry._convert_from_torch(cfg)
+
+
+def test_bare_2_dense_dir_accepted_when_dim_matches(headless_hf_dir, tmp_path):
+    import shutil
+
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.models import registry
+
+    d = tmp_path / "snap"
+    shutil.copytree(headless_hf_dir, d)
+    _write_dense_module(d / "2_Dense", out_dim=16, seed=7)
+    cfg = Config(model_name=str(d), embed_dim=16)
+    _, params = registry._convert_from_torch(cfg)
+    from safetensors.numpy import load_file
+
+    w = load_file(str(d / "2_Dense" / "model.safetensors"))
+    np.testing.assert_allclose(
+        np.asarray(params["params"]["vector_linear"]["kernel"]),
+        w["linear.weight"].T)
