@@ -23,8 +23,10 @@ logger = logging.getLogger(__name__)
 
 
 class SearchEngine:
-    def __init__(self, index, ids: list[str], embedder, *, nprobe: int = 16,
+    def __init__(self, index, ids, embedder, *, nprobe: int = 16,
                  hydrator: OpenAlexClient | None = None):
+        """``ids``: any indexable position->id map — an IdMap (lazy, O(1)
+        RSS; the production path) or a plain list (tests/small corpora)."""
         self.index = index
         self.ids = ids
         self.embedder = embedder
@@ -43,7 +45,7 @@ class SearchEngine:
         fetcher=None,
         warmup: bool = True,
     ) -> "SearchEngine":
-        from ..driver import read_ids_parquet
+        from ..storage.idmap import IdMap
 
         index_dir = Path(index_dir)
         mesh = mesh if mesh is not None else build_mesh()
@@ -60,7 +62,9 @@ class SearchEngine:
         if params_path.exists():
             nprobe = int(read_params(params_path)["nprobe"])
 
-        ids = read_ids_parquet(index_dir / "ids.parquet")
+        # lazy row-group-LRU map: all-of-ids.parquet as a Python list is
+        # ~15-25 GB of RSS at 207M rows (round-2 VERDICT missing #2)
+        ids = IdMap(index_dir / "ids.parquet")
         emb = get_embedder(embedder, cfg, mesh=mesh)
         hyd = (
             OpenAlexClient(fetcher) if (hydrate and fetcher is not None)
@@ -88,14 +92,19 @@ class SearchEngine:
         except Exception:  # noqa: BLE001 — warmup must never kill startup
             logger.exception("warmup failed (serving continues cold)")
 
+    def _resolve(self, positions) -> list[str]:
+        """Batch position->id lookup (one row-group read per touched
+        group when backed by an IdMap)."""
+        if hasattr(self.ids, "resolve"):
+            return self.ids.resolve(positions)
+        return [self.ids[int(p)] for p in positions]
+
     def search(self, query: str, k: int = 10) -> list[dict]:
         q = self.embedder.queries([query])
         scores, pos = self.index.search(q, k, nprobe=self.nprobe)
-        results = []
-        for s, p in zip(scores[0], pos[0]):
-            if p < 0:
-                continue
-            results.append({"id": self.ids[int(p)], "score": float(s)})
+        keep = [(float(s), int(p)) for s, p in zip(scores[0], pos[0]) if p >= 0]
+        names = self._resolve([p for _, p in keep])
+        results = [{"id": n, "score": s} for (s, _), n in zip(keep, names)]
         if self.hydrator is not None and results:
             meta = self.hydrator.get_works([r["id"] for r in results])
             for r in results:
@@ -105,12 +114,14 @@ class SearchEngine:
     def search_batch(self, queries: list[str], k: int = 10) -> list[list[dict]]:
         q = self.embedder.queries(queries)
         scores, pos = self.index.search(q, k, nprobe=self.nprobe)
-        out = []
-        for qi in range(len(queries)):
-            row = [
-                {"id": self.ids[int(p)], "score": float(s)}
-                for s, p in zip(scores[qi], pos[qi])
-                if p >= 0
-            ]
-            out.append(row)
+        keep = [
+            [(float(s), int(p)) for s, p in zip(scores[qi], pos[qi]) if p >= 0]
+            for qi in range(len(queries))
+        ]
+        names = self._resolve([p for row in keep for _, p in row])
+        out, i = [], 0
+        for row in keep:
+            out.append([{"id": names[i + j], "score": s}
+                        for j, (s, _) in enumerate(row)])
+            i += len(row)
         return out

@@ -6,9 +6,11 @@ Replaces the reference's `sidecar-search init/build/dump` storage layer
 
 from .sqlite_store import EmbeddingStore
 from .shards import ShardWriter, ShardReader, dump_store_to_shards, load_shards_to_store
+from .idmap import IdMap
 
 __all__ = [
     "EmbeddingStore",
+    "IdMap",
     "ShardWriter",
     "ShardReader",
     "dump_store_to_shards",

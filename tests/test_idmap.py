@@ -1,0 +1,92 @@
+"""IdMap: O(1)-RSS position->id resolution (round-2 VERDICT missing #2).
+
+The eager list[str] load of ids.parquet costs ~15-25 GB at 207M rows;
+IdMap must return identical strings while keeping at most cache_groups
+row groups decoded, whatever the corpus size.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from abstracts_search_tpu.storage import IdMap
+
+
+@pytest.fixture(scope="module")
+def ids_file(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = tmp_path_factory.mktemp("idmap") / "ids.parquet"
+    schema = pa.schema([pa.field("id", pa.string())])
+    all_ids = [f"https://openalex.org/W{1000 + i}" for i in range(1000)]
+    with pq.ParquetWriter(path, schema) as w:
+        # uneven row groups: 100 + 137 + ... exercises the prefix-sum map
+        i = 0
+        for size in (100, 137, 263, 300, 200):
+            w.write_table(pa.table({"id": pa.array(all_ids[i:i + size])}))
+            i += size
+    return path, all_ids
+
+
+def test_matches_eager_load(ids_file):
+    path, all_ids = ids_file
+    m = IdMap(path)
+    assert len(m) == len(all_ids)
+    for pos in (0, 99, 100, 101, 499, 500, 999):
+        assert m[pos] == all_ids[pos]
+
+
+def test_batch_resolve_and_cache_bound(ids_file):
+    path, all_ids = ids_file
+    m = IdMap(path, cache_groups=2)
+    rng = np.random.default_rng(0)
+    pos = rng.integers(0, len(all_ids), size=200)
+    assert m.resolve(pos) == [all_ids[p] for p in pos]
+    # every row group was touched, but only cache_groups stay resident
+    assert m.cached_groups == 2
+
+
+def test_out_of_range(ids_file):
+    path, _ = ids_file
+    m = IdMap(path)
+    with pytest.raises(IndexError):
+        m[1000]
+    with pytest.raises(IndexError):
+        m[-1]
+    with pytest.raises(IndexError):
+        m.resolve([5, 1000])
+    assert m.resolve([]) == []
+
+
+def test_thread_safety(ids_file):
+    path, all_ids = ids_file
+    m = IdMap(path, cache_groups=1)  # worst case: constant eviction
+    errors = []
+
+    def worker(seed):
+        rng = np.random.default_rng(seed)
+        for _ in range(30):
+            pos = rng.integers(0, len(all_ids), size=8)
+            got = m.resolve(pos)
+            if got != [all_ids[p] for p in pos]:
+                errors.append((pos, got))
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+
+
+def test_engine_uses_idmap(tmp_path):
+    """SearchEngine.from_artifacts must not eager-load ids.parquet."""
+    import inspect
+
+    from abstracts_search_tpu.serve import engine as engine_mod
+
+    src = inspect.getsource(engine_mod)
+    assert "to_pylist" not in src
+    assert "IdMap" in src
