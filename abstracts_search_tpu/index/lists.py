@@ -341,7 +341,14 @@ def _pack_sorted_scatter(payloads, positions, assignments, counts, seg_start,
                          transposed=False):
     """One-pass path: argsort by list, scatter slabs. Destinations are
     non-decreasing in sorted order (segments of a list are contiguous),
-    so artifact writes are sequential; spill reads are random."""
+    so artifact writes are sequential; spill reads are random.
+
+    Transposed payloads scatter COLUMNS of [MB, SEG] segment blocks; a
+    naive per-row column scatter degrades the sequential-write property
+    on the memmap (ADVICE r2), so the slab is transposed in RAM and
+    written one whole [MB, run] block per touched segment — dest values
+    inside one segment are consecutive because every segment belongs to
+    exactly one list and ranks within a list are consecutive."""
     n = len(assignments)
     order = np.argsort(assignments, kind="stable")
     row_start = np.concatenate([[0], np.cumsum(counts)])[:-1]
@@ -353,7 +360,16 @@ def _pack_sorted_scatter(payloads, positions, assignments, counts, seg_start,
         rank = (lo + np.arange(len(sel), dtype=np.int64)) - row_start[sl]
         dest = seg_start[sl] * seg_size + rank
         if transposed:
-            data_mm[dest // seg_size, :, dest % seg_size] = payloads[sel]
+            segs = dest // seg_size
+            cols = dest % seg_size
+            pay_t = np.ascontiguousarray(np.asarray(payloads[sel]).T)  # [MB, rows]
+            starts = np.flatnonzero(np.diff(segs, prepend=segs[0] - 1)
+                                    ) if len(segs) else np.zeros(0, np.int64)
+            bounds = np.append(starts, len(segs))
+            for bi in range(len(starts)):
+                a, b = int(bounds[bi]), int(bounds[bi + 1])
+                data_mm[int(segs[a]), :, int(cols[a]) : int(cols[b - 1]) + 1] = \
+                    pay_t[:, a:b]
         else:
             data_flat[dest] = payloads[sel]
         row_flat[dest] = np.asarray(positions[sel], np.int64)

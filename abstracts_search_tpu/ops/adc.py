@@ -234,6 +234,12 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
         # (repeat, iota // mc) lane encoding per half
         mb = mbytes
         mc = max(1, min(mb, 2048 // ksub))
+        if mb % mc:
+            raise ValueError(
+                f"packed row-major ADC scan needs code bytes M/2={mb} "
+                f"divisible by the lane chunk {mc} (i.e. M a multiple of "
+                f"{2 * mc} for ksub={ksub}); use the transposed layout "
+                f"or pick pq_m from {{{2 * mc}, {4 * mc}, ...}}")
         n_ch = mb // mc
         luts_vm = (
             luts.astype(jnp.float32)
@@ -251,6 +257,11 @@ def adc_scan_pallas(codes3, luts, seg_ids, q_ids, *, interpret=None,
         # pre-flatten LUTs value-major per m-chunk (in XLA, where reshapes
         # are free): luts_vm[q, ch, c*mc + ml] = luts[q, ch*mc + ml, c]
         mc = _mchunk(m, ksub)
+        if m % mc:
+            raise ValueError(
+                f"row-major ADC scan needs M={m} divisible by the lane "
+                f"chunk {mc} for ksub={ksub}; use the transposed layout "
+                f"or a multiple-of-{mc} pq_m")
         n_ch = m // mc
         luts_vm = (
             luts.astype(jnp.float32)
@@ -355,16 +366,42 @@ def _adc_topk_kernel_t(seg_ids, q_ids, valid_cnt, codes_ref, lut_ref,
     cols = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
     row = jnp.where(cols < valid_cnt[i], row, -jnp.inf)
 
-    sel_vals, sel_idx = [], []
-    for _ in range(kp):
-        mx = jnp.max(row, axis=1, keepdims=True)           # [1, 1]
-        am = jnp.argmax(row, axis=1).reshape(1, 1)
-        sel = cols == am
-        sel_vals.append(mx)
-        sel_idx.append(am)
-        row = jnp.where(sel, -jnp.inf, row)
-    outv_ref[0, 0, :] = jnp.concatenate(sel_vals, axis=1)[0]
-    outi_ref[0, 0, :] = jnp.concatenate(sel_idx, axis=1)[0]
+    # kp rounds of max/argmax/mask. Small kp: static unroll (fastest).
+    # Large kp: fori_loop with select-writes into [1, kp] accumulators —
+    # a kp>=64 static unroll overflows the Mosaic VMEM stack on chip
+    # (ops/topk.py:96-127 records the same limit; CPU interpret mode
+    # cannot catch it).
+    if kp <= 16:
+        sel_vals, sel_idx = [], []
+        for _ in range(kp):
+            mx = jnp.max(row, axis=1, keepdims=True)       # [1, 1]
+            am = jnp.argmax(row, axis=1).reshape(1, 1)
+            sel_vals.append(mx)
+            sel_idx.append(am)
+            row = jnp.where(cols == am, -jnp.inf, row)
+        outv_ref[0, 0, :] = jnp.concatenate(sel_vals, axis=1)[0]
+        outi_ref[0, 0, :] = jnp.concatenate(sel_idx, axis=1)[0]
+    else:
+        colk = lax.broadcasted_iota(jnp.int32, (1, kp), 1)
+
+        def sel_body(j, carry):
+            # winners carried as SCALARS: selecting a [1, 1] value into a
+            # [1, kp] accumulator trips Mosaic's unimplemented sublane
+            # broadcast on chip (caught by the real-TPU compile check)
+            row, ov, oi = carry
+            mx = jnp.max(row)
+            am = jnp.argmax(row).astype(jnp.int32)
+            ov = jnp.where(colk == j, mx, ov)
+            oi = jnp.where(colk == j, am, oi)
+            return jnp.where(cols == am, -jnp.inf, row), ov, oi
+
+        _, ov, oi = lax.fori_loop(
+            0, kp, sel_body,
+            (row, jnp.full((1, kp), -jnp.inf, jnp.float32),
+             jnp.zeros((1, kp), jnp.int32)),
+        )
+        outv_ref[0, 0, :] = ov[0]
+        outi_ref[0, 0, :] = oi[0]
 
 
 def adc_topk_pallas(codes3, luts, seg_ids, q_ids, valid_cnt, kp, *,

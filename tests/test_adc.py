@@ -132,3 +132,41 @@ def test_adc_topk_fused_matches_composed(rng, ksub, m):
         got = np.take_along_axis(ref_scores, rows, axis=1)
         np.testing.assert_allclose(got[live], v[live], rtol=tol, atol=tol)
         assert (rows[live] < valid[:, None].repeat(kp, 1)[live]).all()
+
+
+@pytest.mark.parametrize("kp", [24, 64])
+def test_adc_topk_fused_large_kp_fori_branch(rng, kp):
+    """kp>16 takes the fori_loop select-write branch (a static unroll at
+    kp>=64 overflows the Mosaic VMEM stack on chip — ADVICE r2); results
+    must still match the composed oracle."""
+    import jax.numpy as jnp
+
+    from abstracts_search_tpu.ops.adc import adc_topk_pallas, adc_topk_xla
+
+    ksub, m = 16, 8
+    n_segs, seg, q, spq = 5, 128, 2, 3
+    n_slots = q * spq
+    codes = rng.integers(0, ksub, (n_segs, seg, m), dtype=np.uint8)
+    wire = codes[..., 0::2] | (codes[..., 1::2] << 4)
+    codes_t = np.ascontiguousarray(wire.transpose(0, 2, 1))
+    luts = rng.standard_normal((q, m, ksub)).astype(np.float32)
+    seg_ids = rng.integers(0, n_segs, n_slots).astype(np.int32)
+    q_ids = np.repeat(np.arange(q, dtype=np.int32), spq)
+    valid = rng.integers(kp, seg + 1, n_slots).astype(np.int32)
+
+    ref_scores = _ref(codes, luts, seg_ids, q_ids)
+    ref_scores[np.arange(seg)[None, :] >= valid[:, None]] = -np.inf
+    order = np.argsort(-ref_scores, axis=1, kind="stable")[:, :kp]
+    ref_v = np.take_along_axis(ref_scores, order, axis=1)
+
+    for fn, tol in ((adc_topk_xla, 1e-5), (adc_topk_pallas, 2e-2)):
+        kw = {"transposed": True}
+        if fn is adc_topk_pallas:
+            kw["interpret"] = True
+        v, rows = fn(jnp.asarray(codes_t), jnp.asarray(luts),
+                     jnp.asarray(seg_ids), jnp.asarray(q_ids),
+                     jnp.asarray(valid), kp, **kw)
+        v, rows = np.asarray(v), np.asarray(rows)
+        np.testing.assert_allclose(v, ref_v, rtol=tol, atol=tol)
+        got = np.take_along_axis(ref_scores, rows, axis=1)
+        np.testing.assert_allclose(got, v, rtol=tol, atol=tol)
