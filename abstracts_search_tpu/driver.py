@@ -251,19 +251,42 @@ class Driver:
         # positions ARE the index's positions and the array oracle is
         # consistent.
         reader = ShardReader(self.data_dir)
+        cache_kw = {}
         if self.filled_dir.is_dir():
             index = self._load_index(filled=True)
             source = reader
             n_rows = len(reader)
+            # the exact oracle is a full corpus pass (~850 GB of
+            # host->device traffic at 207M) but depends only on this
+            # key — cache it next to the index artifacts so re-tunes
+            # cost seconds (reference's cheap re-runnable tune stage,
+            # Makefile:30-32)
+            cache_kw = dict(
+                oracle_cache=self.index_dir / "tune_oracle.npz",
+                oracle_key={
+                    "fingerprint": self._data_fingerprint(),
+                    "n_queries": int(min(n_queries, n_rows)),
+                    "k": int(k), "seed": 0,
+                    "spherical": bool(getattr(index, "spherical", False)),
+                },
+            )
         else:
             index = self._load_index(filled=False)
             sample = reader.sample(min(len(reader), self.cfg.tune_sample))
+            if len(reader) > len(sample):
+                logger.warning(
+                    "tune: no filled index — tuning a TEMPORARY index "
+                    "filled with a %d-row sample of the %d-row corpus; "
+                    "the chosen nprobe may not transfer. Run `astpu index "
+                    "fill` first (or `astpu all`) and re-tune with "
+                    "--force for a production operating point.",
+                    len(sample), len(reader))
             index.fill(sample)
             source = sample
             n_rows = len(sample)
         params = tune_index(
             index, source, n_queries=min(n_queries, n_rows),
-            k=k, target_recall=target_recall,
+            k=k, target_recall=target_recall, **cache_kw,
         )
         write_params(self.params_path, params)
         logger.info("tune: nprobe=%d recall=%.3f", params["nprobe"], params["achieved_recall"])

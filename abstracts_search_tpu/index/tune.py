@@ -123,6 +123,31 @@ def _exact_ground_truth_stream(reader, queries: np.ndarray, k: int, *,
     return best_v, best_p
 
 
+def load_oracle_cache(path, key: dict):
+    """(queries, ref positions) from a cache written by
+    save_oracle_cache, or None when absent/key-mismatched."""
+    path = Path(path)
+    if not path.is_file():
+        return None
+    try:
+        z = np.load(path, allow_pickle=False)
+        if json.loads(str(z["key"])) != key:
+            return None
+        return np.asarray(z["queries"], np.float32), np.asarray(z["ref"], np.int64)
+    except Exception:
+        return None
+
+
+def save_oracle_cache(path, key: dict, queries, ref) -> None:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.with_name(path.name + ".tmp.npz")
+    np.savez(tmp, key=json.dumps(key, sort_keys=True),
+             queries=np.asarray(queries, np.float32),
+             ref=np.asarray(ref, np.int64))
+    tmp.replace(path)
+
+
 def tune_index(
     index,
     source,
@@ -133,6 +158,8 @@ def tune_index(
     nprobes=DEFAULT_NPROBES,
     seed: int = 0,
     timing_reps: int = 3,
+    oracle_cache=None,
+    oracle_key: dict | None = None,
 ) -> dict:
     """Sweep nprobe; return the params.json payload.
 
@@ -140,12 +167,28 @@ def tune_index(
     was filled with — an array for a sample-filled index, the shard
     reader for a full-corpus index — so oracle and index positions live
     in one space.
+
+    ``oracle_cache``/``oracle_key``: ground truth depends only on
+    (data fingerprint, query seed, n_queries, k) — at 207M rows
+    recomputing it streams the whole corpus (~850 GB host->device) on
+    EVERY params.json regeneration (round-2 VERDICT missing #4), so the
+    caller passes a cache path plus the identity key and re-tunes cost
+    seconds. The key must include the data fingerprint; a stale cache
+    never matches.
     """
-    queries = make_holdout_queries(source, n_queries, seed=seed)
-    if getattr(index, "spherical", False):
-        queries /= np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
-    _, ref = exact_ground_truth(source, queries, k,
-                                mesh=index.mesh, chunk=index.chunk)
+    cached = (load_oracle_cache(oracle_cache, oracle_key)
+              if oracle_cache is not None else None)
+    if cached is not None:
+        queries, ref = cached
+    else:
+        queries = make_holdout_queries(source, n_queries, seed=seed)
+        if getattr(index, "spherical", False):
+            queries /= np.maximum(
+                np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+        _, ref = exact_ground_truth(source, queries, k,
+                                    mesh=index.mesh, chunk=index.chunk)
+        if oracle_cache is not None:
+            save_oracle_cache(oracle_cache, oracle_key, queries, ref)
 
     points = []
     for nprobe in nprobes:

@@ -19,6 +19,21 @@ Two implementations:
   sequential grid makes the scratch carry safe, and the pipeline
   double-buffers chunk DMA behind the matmul automatically.
 
+Two selection modes (measured on a v5e chip, 2M x 1024 bf16, k=10):
+
+- ``mode="exact"``: bit-exact f32 selection. Each fold round costs a
+  max + argmax + two masked reproductions over [Q, k+C] — ~490 GB/s of
+  effective corpus bandwidth at k=10 (the fold, not the DMA, is the
+  bottleneck; k=1 runs at 768 GB/s).
+- ``mode="fast"``: scores are bit-packed into sortable int32 keys with
+  the low ``log2(chunk)`` mantissa bits replaced by the lane id, so each
+  round is ONE max + one mask — value and index in a single reduction.
+  ~727 GB/s at k=10/chunk=4096 (1.5x exact). Cost: returned values are
+  truncated to ~12 mantissa bits (rel err <= 2^-12 ~ 2.4e-4, below the
+  bf16 input quantization already present) and near-ties may order
+  differently. Both impls ("pallas" and "xla") implement IDENTICAL
+  fast-mode semantics, so cross-impl tests stay exact.
+
 The corpus length must be a multiple of ``chunk``; rows >= ``n_valid``
 are padding and are masked to -inf (cf. SURVEY.md §7 "hard parts":
 static shapes vs variable corpus sizes).
@@ -68,36 +83,51 @@ def _topk_xla(q, x, n_valid, k, chunk):
     return vals, idx
 
 
-def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *, k, chunk):
-    # grid = (query tiles, corpus chunks); the chunk axis is minor, so for
-    # one query tile all corpus chunks run sequentially and the VMEM
-    # scratch legitimately carries the running top-k across them.
-    i = pl.program_id(1)
-    nchunks = pl.num_programs(1)
-    qn = q_ref.shape[0]
+def _topk_xla_fast(q, x, n_valid, k, chunk, lane_bits):
+    """XLA twin of _topk_kernel_fast with IDENTICAL truncation and
+    tie-break semantics (per-chunk packed-int top_k, then merge with
+    first-occurrence preference), so cross-impl tests compare exactly."""
+    qf = q.astype(x.dtype)
+    n_total, d = x.shape
+    nchunks = n_total // chunk
+    qn = q.shape[0]
+    xs = x.reshape(nchunks, chunk, d)
 
-    @pl.when(i == 0)
-    def _():
-        vals_s[:] = jnp.full_like(vals_s, NEG_INF)
-        idx_s[:] = jnp.zeros_like(idx_s)
+    def body(carry, inp):
+        i, xc = inp
+        s = jnp.dot(qf, xc.T, preferred_element_type=jnp.float32)
+        cols = lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
+        s = jnp.where(i * chunk + cols < n_valid, s, FAST_SENTINEL)
+        wk, _ = lax.top_k(_pack_keys(s, cols, lane_bits), k)
+        wv, wl = _unpack_keys(wk, lane_bits)
+        return _merge_topk(carry[0], carry[1], wv, i * chunk + wl, k), None
 
-    # [QT, C] chunk scores on the MXU, f32 accumulation
-    s = lax.dot_general(
-        q_ref[:], x_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    init = (
+        jnp.full((qn, k), NEG_INF, jnp.float32),
+        jnp.zeros((qn, k), jnp.int32),
     )
-    cols = i * chunk + lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
-    s = jnp.where(cols < nvalid_ref[0], s, NEG_INF)
+    (vals, idx), _ = lax.scan(body, init, (jnp.arange(nchunks), xs))
+    return vals, idx
 
-    # Fold chunk into the running top-k: k rounds of max/argmax selection
-    # over the [Q, k + C] candidate set. Mosaic has no sort/gather and
-    # dynamic lane-indexed stores must be 128-aligned, so winners are
-    # written via whole-array stores. Small k: static unroll (fastest).
-    # Large k: fori_loop with select-writes — a k=64+ unroll blows the
-    # Mosaic VMEM stack, and the loop overhead is amortized anyway.
-    mv = jnp.concatenate([vals_s[:], s], axis=1)
-    mi = jnp.concatenate([idx_s[:], cols], axis=1)
+
+# fast-mode sentinel for invalid rows: must be FINITE — clearing the low
+# mantissa bits of -inf's bit pattern yields a NaN that poisons the
+# selection. Anything <= FAST_INVALID in the output is mapped back to
+# -inf by the wrapper.
+FAST_SENTINEL = -3.0e38
+FAST_INVALID = -1.0e38
+
+
+def _fold_exact(vals_s, idx_s, new_v, new_i, k, qn):
+    """Fold [Q, C] candidates into the running [Q, k] scratch: k rounds
+    of max/argmax selection over the [Q, k + C] candidate set. Mosaic
+    has no sort/gather and dynamic lane-indexed stores must be
+    128-aligned, so winners are written via whole-array stores. Small k:
+    static unroll (fastest). Large k: fori_loop with select-writes — a
+    k=64+ unroll blows the Mosaic VMEM stack, and the loop overhead is
+    amortized anyway."""
+    mv = jnp.concatenate([vals_s[:], new_v], axis=1)
+    mi = jnp.concatenate([idx_s[:], new_i], axis=1)
     colid = lax.broadcasted_iota(jnp.int32, mv.shape, 1)
 
     if k <= 16:
@@ -132,6 +162,105 @@ def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *,
         vals_s[:] = ov
         idx_s[:] = oi
 
+
+def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *, k, chunk):
+    # grid = (query tiles, corpus chunks); the chunk axis is minor, so for
+    # one query tile all corpus chunks run sequentially and the VMEM
+    # scratch legitimately carries the running top-k across them.
+    i = pl.program_id(1)
+    nchunks = pl.num_programs(1)
+    qn = q_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        vals_s[:] = jnp.full_like(vals_s, NEG_INF)
+        idx_s[:] = jnp.zeros_like(idx_s)
+
+    # [QT, C] chunk scores on the MXU, f32 accumulation
+    s = lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cols = i * chunk + lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
+    s = jnp.where(cols < nvalid_ref[0], s, NEG_INF)
+
+    _fold_exact(vals_s, idx_s, s, cols, k, qn)
+
+    @pl.when(i == nchunks - 1)
+    def _():
+        outv_ref[:] = vals_s[:]
+        outi_ref[:] = idx_s[:]
+
+
+def _pack_keys(s, cols, lane_bits):
+    """f32 scores -> sortable int32 keys with the low ``lane_bits``
+    mantissa bits replaced by the lane id: ONE integer max then yields
+    value AND index together. The sign-flip transform makes signed-int
+    order match float order (involution, so decode reuses it)."""
+    si = lax.bitcast_convert_type(s, jnp.int32)
+    key = si ^ ((si >> 31) & 0x7FFFFFFF)
+    return (key & ~((1 << lane_bits) - 1)) | cols
+
+
+def _unpack_keys(wk, lane_bits):
+    """packed keys -> (truncated f32 values, lane ids)."""
+    mask_lo = (1 << lane_bits) - 1
+    wl = wk & mask_lo
+    kv = wk & ~mask_lo
+    kv = kv ^ ((kv >> 31) & 0x7FFFFFFF)
+    return lax.bitcast_convert_type(kv, jnp.float32), wl
+
+
+def _topk_kernel_fast(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref,
+                      vals_s, idx_s, *, k, chunk, lane_bits):
+    """Fast-mode kernel: packed-key selection (see module docstring).
+
+    Per chunk: pack scores once, then k rounds of a single integer max +
+    mask pick the chunk's top-k (value and lane id in one reduction —
+    no argmax, no masked index reproduction), then an exact narrow merge
+    folds the <=k decoded winners into the running [Q, k] scratch.
+    Measured 727 GB/s vs 490 GB/s exact at k=10 (v5e, chunk=4096)."""
+    i = pl.program_id(1)
+    nchunks = pl.num_programs(1)
+    qn = q_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        vals_s[:] = jnp.full_like(vals_s, NEG_INF)
+        idx_s[:] = jnp.zeros_like(idx_s)
+
+    s = lax.dot_general(
+        q_ref[:], x_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    cols = lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
+    s = jnp.where(i * chunk + cols < nvalid_ref[0], s, FAST_SENTINEL)
+    pk = _pack_keys(s, cols, lane_bits)
+
+    if k <= 16:
+        winners = []
+        for _ in range(k):
+            mx = jnp.max(pk, axis=1, keepdims=True)     # [qn, 1]
+            winners.append(mx)
+            pk = jnp.where(pk == mx, -(2**31), pk)
+        wk = jnp.concatenate(winners, axis=1)           # [qn, k]
+    else:
+        colk = lax.broadcasted_iota(jnp.int32, (qn, k), 1)
+
+        def body(j, carry):
+            pk, wk = carry
+            mx = jnp.max(pk, axis=1, keepdims=True)
+            wk = jnp.where(colk == j, mx, wk)
+            return jnp.where(pk == mx, -(2**31), pk), wk
+
+        _, wk = lax.fori_loop(
+            0, k, body, (pk, jnp.zeros((qn, k), jnp.int32)))
+
+    wv, wl = _unpack_keys(wk, lane_bits)
+    _fold_exact(vals_s, idx_s, wv, i * chunk + wl, k, qn)
+
     @pl.when(i == nchunks - 1)
     def _():
         outv_ref[:] = vals_s[:]
@@ -142,7 +271,8 @@ def _round_up(v: int, m: int) -> int:
     return -(-v // m) * m
 
 
-def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256):
+def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256,
+                 fast: bool = False):
     qn, d = q.shape
     n_total = x.shape[0]
     nchunks = n_total // chunk
@@ -156,7 +286,11 @@ def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256):
     if q_pad != qn:
         q = jnp.pad(q, ((0, q_pad - qn), (0, 0)))
 
-    kernel = functools.partial(_topk_kernel, k=k, chunk=chunk)
+    if fast:
+        kernel = functools.partial(_topk_kernel_fast, k=k, chunk=chunk,
+                                   lane_bits=max(1, chunk.bit_length() - 1))
+    else:
+        kernel = functools.partial(_topk_kernel, k=k, chunk=chunk)
     outv, outi = pl.pallas_call(
         kernel,
         grid=(q_pad // qt, nchunks),
@@ -182,6 +316,9 @@ def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256):
             bytes_accessed=n_total * d * x.dtype.itemsize * (q_pad // qt),
             transcendentals=0,
         ),
+        # chunk=4096 blocks need ~16.4M of scoped VMEM — past Mosaic's
+        # 16M default; v5e has 128M (cf. ops/adc.py)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
     )(nvalid_arr, q, x)
     if q_pad != qn:
@@ -189,23 +326,45 @@ def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256):
     return outv, outi
 
 
-def streaming_topk(q, x, n_valid, k: int, *, chunk: int = 1024, impl: str = "auto"):
+def streaming_topk(q, x, n_valid, k: int, *, chunk: int = 1024,
+                   impl: str = "auto", mode: str = "exact"):
     """Top-k inner products of q against x[:n_valid].
 
     q: [Q, D]; x: [N, D] with N a multiple of ``chunk``; n_valid: traced
     scalar count of real rows. Returns (values [Q, k] f32, row indices
     [Q, k] i32). impl: "pallas" | "xla" | "auto" (pallas on TPU).
+    mode: "exact" (bit-exact selection) | "fast" (packed-key selection,
+    ~1.5x faster at k~10; values truncated to ~12 mantissa bits and
+    near-ties may reorder — see module docstring). Both impls implement
+    identical fast-mode semantics.
     """
     if x.shape[0] % chunk != 0:
         raise ValueError(f"corpus rows {x.shape[0]} not a multiple of chunk {chunk}")
     if k > chunk:
         raise ValueError(f"k={k} must be <= chunk={chunk}")
+    if mode not in ("exact", "fast"):
+        raise ValueError(f"unknown mode {mode!r}")
+    fast = mode == "fast"
+    if fast and chunk & (chunk - 1):
+        raise ValueError(f"fast mode needs a power-of-two chunk, got {chunk}")
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "xla":
-        return _topk_xla(q, x, n_valid, k, chunk)
-    if impl == "pallas":
-        return _topk_pallas(q, x, n_valid, k, chunk, interpret=jax.default_backend() != "tpu")
-    if impl == "pallas_interpret":
-        return _topk_pallas(q, x, n_valid, k, chunk, interpret=True)
-    raise ValueError(f"unknown impl {impl!r}")
+        if fast:
+            vals, idx = _topk_xla_fast(q, x, n_valid, k, chunk,
+                                       max(1, chunk.bit_length() - 1))
+        else:
+            return _topk_xla(q, x, n_valid, k, chunk)
+    elif impl == "pallas":
+        vals, idx = _topk_pallas(q, x, n_valid, k, chunk, fast=fast,
+                                 interpret=jax.default_backend() != "tpu")
+    elif impl == "pallas_interpret":
+        vals, idx = _topk_pallas(q, x, n_valid, k, chunk, fast=fast,
+                                 interpret=True)
+    else:
+        raise ValueError(f"unknown impl {impl!r}")
+    if fast:
+        # invalid rows were masked with the finite sentinel in-kernel
+        # (truncating -inf yields NaN); restore the -inf contract
+        vals = jnp.where(vals <= FAST_INVALID, NEG_INF, vals)
+    return vals, idx

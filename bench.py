@@ -23,7 +23,11 @@ N = 2_097_152
 D = 1024
 Q = 128
 K = 10
-CHUNK = 2048
+# fast-mode packed-key selection at chunk=4096 runs the scan at ~727 of
+# the 819 GB/s HBM peak (the exact-mode fold was the bottleneck at 490
+# GB/s; values truncated to ~12 mantissa bits — ops/topk.py docstring)
+CHUNK = 4096
+MODE = "fast"
 BASELINE_QPS = 12.0  # documented estimate, see module docstring
 
 
@@ -55,7 +59,8 @@ def main() -> None:
 
     impl = "pallas" if on_tpu else "xla"
     fn = jax.jit(
-        lambda q, xx: streaming_topk(q, xx, jnp.int32(n), K, chunk=CHUNK, impl=impl)
+        lambda q, xx: streaming_topk(q, xx, jnp.int32(n), K, chunk=CHUNK,
+                                     impl=impl, mode=MODE)
     )
 
     # compile + sync (first compile through the tunnel is slow)

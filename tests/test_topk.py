@@ -70,3 +70,65 @@ def test_streaming_topk_validates_args(rng):
         streaming_topk(q, x, jnp.int32(100), 5, chunk=64)  # 100 % 64 != 0
     with pytest.raises(ValueError):
         streaming_topk(q, jnp.zeros((64, 8)), jnp.int32(64), 65, chunk=64)  # k > chunk
+
+
+# ---- fast mode (packed-key selection; round-3) ----
+
+
+@pytest.mark.parametrize("k", [1, 10, 24])
+def test_fast_mode_impls_match_exactly(rng, k):
+    """pallas-interpret and xla fast modes implement IDENTICAL packing/
+    tie-break semantics -> bit-equal outputs."""
+    Q, D, N, chunk = 6, 32, 1024, 256
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    n_valid = 900
+    v_x, i_x = streaming_topk(jnp.asarray(q), jnp.asarray(x),
+                              jnp.int32(n_valid), k, chunk=chunk,
+                              impl="xla", mode="fast")
+    v_p, i_p = streaming_topk(jnp.asarray(q), jnp.asarray(x),
+                              jnp.int32(n_valid), k, chunk=chunk,
+                              impl="pallas_interpret", mode="fast")
+    np.testing.assert_array_equal(np.asarray(v_x), np.asarray(v_p))
+    np.testing.assert_array_equal(np.asarray(i_x), np.asarray(i_p))
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+def test_fast_mode_close_to_exact_oracle(rng, impl):
+    """Fast-mode values are within the documented 2^-12 relative
+    truncation of the exact oracle, and the score at each returned
+    index matches the returned value."""
+    Q, D, N, k, chunk = 5, 24, 2048, 10, 512
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    x = rng.standard_normal((N, D)).astype(np.float32)
+    ref = np.sort(q @ x.T, axis=1)[:, ::-1][:, :k]
+    v, i = streaming_topk(jnp.asarray(q), jnp.asarray(x), jnp.int32(N), k,
+                          chunk=chunk, impl=impl, mode="fast")
+    v, i = np.asarray(v), np.asarray(i)
+    np.testing.assert_allclose(v, ref, rtol=3e-4, atol=3e-4)
+    got = np.take_along_axis(q @ x.T, i, axis=1)
+    np.testing.assert_allclose(got, v, rtol=3e-4, atol=3e-4)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas_interpret"])
+def test_fast_mode_invalid_rows_are_neginf(rng, impl):
+    """The finite in-kernel sentinel must come back as -inf (contract
+    parity with exact mode; tune's stream oracle checks v == -inf)."""
+    Q, D, N, k, chunk = 3, 16, 256, 16, 128
+    n_valid = 6
+    q = rng.standard_normal((Q, D)).astype(np.float32)
+    x = np.zeros((N, D), dtype=np.float32)
+    x[:n_valid] = rng.standard_normal((n_valid, D)).astype(np.float32)
+    v, i = streaming_topk(jnp.asarray(q), jnp.asarray(x), jnp.int32(n_valid),
+                          k, chunk=chunk, impl=impl, mode="fast")
+    v = np.asarray(v)
+    assert np.all(np.isfinite(v[:, :n_valid]))
+    assert np.all(np.isneginf(v[:, n_valid:]))
+    assert np.all(np.asarray(i)[:, :n_valid] < n_valid)
+
+
+def test_fast_mode_rejects_non_pow2_chunk(rng):
+    q = jnp.zeros((2, 8))
+    x = jnp.zeros((300, 8))
+    with pytest.raises(ValueError, match="power-of-two"):
+        streaming_topk(q, x, jnp.int32(300), 5, chunk=100, mode="fast")

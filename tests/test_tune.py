@@ -94,3 +94,71 @@ def test_exact_ground_truth_stream_matches_array_oracle(tmp_path, rng):
     v_str, p_str = exact_ground_truth(reader, q, 9, chunk=128)
     np.testing.assert_allclose(v_str, v_arr, rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(p_str, p_arr)
+
+
+def test_tune_oracle_cache_reused_and_invalidated(tmp_path, rng, monkeypatch):
+    """Second tune with the same key must NOT recompute the exact oracle
+    (at 207M a recompute is a full ~850 GB corpus pass — VERDICT r2
+    missing #4); a changed key (new data fingerprint) must."""
+    from abstracts_search_tpu.index import tune as tune_mod
+
+    n, d = 2000, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    reader = _write_shards(tmp_path, x)
+    idx = IVFFlatIndex(8, mesh=build_mesh(), seg_size=32, chunk=128, seed=0)
+    idx.train(x[:500], iters=4)
+    idx.fill(x)
+
+    cache = tmp_path / "tune_oracle.npz"
+    key = {"fingerprint": {"data_00000.parquet": 1}, "n_queries": 16, "k": 5}
+    p1 = tune_index(idx, reader, n_queries=16, k=5, nprobes=(1, 8),
+                    timing_reps=1, oracle_cache=cache, oracle_key=key)
+    assert cache.exists()
+
+    def boom(*a, **kw):
+        raise AssertionError("oracle recomputed despite valid cache")
+
+    monkeypatch.setattr(tune_mod, "exact_ground_truth", boom)
+    p2 = tune_index(idx, reader, n_queries=16, k=5, nprobes=(1, 8),
+                    timing_reps=1, oracle_cache=cache, oracle_key=key)
+    assert [q["recall"] for q in p2["operating_points"]] == \
+           [q["recall"] for q in p1["operating_points"]]
+
+    # changed fingerprint -> must recompute (and here, loudly fail)
+    key2 = dict(key, fingerprint={"data_00000.parquet": 2})
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="recomputed"):
+        tune_index(idx, reader, n_queries=16, k=5, nprobes=(1, 8),
+                   timing_reps=1, oracle_cache=cache, oracle_key=key2)
+
+
+def test_driver_tune_cache_on_filled_index(tmp_path, rng, monkeypatch):
+    """Driver-level: target_tune writes tune_oracle.npz next to the
+    artifacts and a forced re-tune reuses it."""
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.driver import Driver
+    from abstracts_search_tpu.index import tune as tune_mod
+
+    n, d = 1200, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    _write_shards(tmp_path / "emb", x, shard_size=1024, row_group_size=256)
+    cfg = Config(
+        data_dir=str(tmp_path / "emb" / "data"),
+        index_dir=str(tmp_path / "idx"),
+        store_path=str(tmp_path / "data.sqlite"),
+        events_dir=str(tmp_path / "events"),
+        ivf_centroids=8, train_sample=1200, pq_m=4, pq_nbits=4,
+        embed_dim=d,
+    )
+    drv = Driver(cfg)
+    drv.target_train()
+    drv.target_fill()
+    drv.target_tune(n_queries=16, k=5)
+    assert (tmp_path / "idx" / "tune_oracle.npz").exists()
+
+    monkeypatch.setattr(
+        tune_mod, "exact_ground_truth",
+        lambda *a, **kw: (_ for _ in ()).throw(
+            AssertionError("oracle recomputed")))
+    drv.target_tune(force=True, n_queries=16, k=5)  # cache hit
