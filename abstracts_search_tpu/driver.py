@@ -87,13 +87,28 @@ class Driver:
             return init_store(self.store_path)
         return EmbeddingStore(self.store_path)
 
+    def _reader(self):
+        """Data source for index stages: the parquet ShardReader, or the
+        device-generated virtual corpus when the data dir holds a
+        ``virtual.json`` spec (storage/virtual.py — scale validation on
+        rigs whose host link cannot stream the corpus)."""
+        from .storage.virtual import open_data_source
+
+        return open_data_source(self.data_dir, mesh=self.mesh)
+
     def _data_fingerprint(self) -> dict:
         if not self.data_dir.is_dir():
             return {}
-        return {
+        fp = {
             p.name: p.stat().st_size
             for p in sorted(self.data_dir.glob("data_*.parquet"))
         }
+        vj = self.data_dir / "virtual.json"
+        if vj.exists():
+            import hashlib
+
+            fp["virtual.json"] = hashlib.sha1(vj.read_bytes()).hexdigest()
+        return fp
 
     # -- targets ------------------------------------------------------------------
 
@@ -149,8 +164,12 @@ class Driver:
         clean`), so the 10M-row production sample (~40 GB f32) never
         occupies host RAM (reference trains on a 16 GB machine,
         /root/reference/README.md:33)."""
-        reader = ShardReader(self.data_dir)
+        reader = self._reader()
         n = min(self.cfg.train_sample, len(reader))
+        if hasattr(reader, "train_view"):
+            # virtual corpus: the sample never materializes host-side —
+            # kmeans streams device-(re)generated chunks per iteration
+            return reader.train_view(n)
         if n * reader.dim * 4 <= self.SAMPLE_INRAM_BYTES:
             return reader.sample(n)
         cache = self.data_dir / ".astpu_cache"
@@ -201,7 +220,7 @@ class Driver:
             return False
 
         index = self._load_index(filled=False)
-        reader = ShardReader(self.data_dir)
+        reader = self._reader()
         self.filled_dir.mkdir(parents=True, exist_ok=True)
 
         # ids.parquet streams row-group-by-row-group alongside the fill —
@@ -250,7 +269,7 @@ class Driver:
         # index, fill a temporary one with a sample; then sample-local
         # positions ARE the index's positions and the array oracle is
         # consistent.
-        reader = ShardReader(self.data_dir)
+        reader = self._reader()
         cache_kw = {}
         if self.filled_dir.is_dir():
             index = self._load_index(filled=True)

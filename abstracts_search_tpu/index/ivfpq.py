@@ -209,7 +209,8 @@ class IVFPQIndex:
         quality needs the full sample — streams a rotated memmap.
         """
         big = (
-            isinstance(sample, np.memmap)
+            hasattr(sample, "device_chunk")
+            or isinstance(sample, np.memmap)
             or sample.nbytes > self.TRAIN_INRAM_BYTES
         )
         if big:
@@ -243,12 +244,18 @@ class IVFPQIndex:
 
         n, dim = sample.shape
         rng = np.random.default_rng(self.seed)
+        device_src = hasattr(sample, "device_chunk")
 
         # 1) OPQ on an in-RAM sub-sample (OPQ stages it on the mesh once
         # and trains fully device-resident; keep_staged lets step 4 reuse
         # the staged rows for residual PQ training with no re-upload)
         sub_idx = np.sort(rng.choice(n, min(self.PQ_TRAIN_ROWS, n), replace=False))
-        sub = np.asarray(sample[sub_idx], np.float32)
+        if device_src:
+            # chunked device source (storage/virtual.py): only the
+            # sub-sample rows cross the link
+            sub = sample.gather_rows(sub_idx)
+        else:
+            sub = np.asarray(sample[sub_idx], np.float32)
         if self.spherical:
             sub = _normalize_rows(sub)
         if self.use_opq:
@@ -264,10 +271,23 @@ class IVFPQIndex:
         #    sample) — rotate chunk-wise into a disk memmap and re-read
         #    it every Lloyd iteration; host RSS stays O(chunk).
         device_fit = (
-            not isinstance(sample, np.memmap)
+            not device_src
+            and not isinstance(sample, np.memmap)
             and n * dim * 4 <= KMeans.DEVICE_BUDGET_BYTES * self.ndev
         )
-        if device_fit:
+        if device_src:
+            # chunked device source: chunks are (re)generated/(re)staged
+            # on device each Lloyd iteration, rotated on device, and the
+            # accumulators never leave HBM (kmeans._fit_device_stream) —
+            # the production `-c 65536` x 10M-row point on rigs where the
+            # sample cannot stream over the host link per iteration
+            from ..storage.virtual import RotatedDeviceSource
+
+            src = (RotatedDeviceSource(sample, self.rotation, self.mesh)
+                   if self.use_opq else sample)
+            self.kmeans.fit(src, iters=kmeans_iters)
+            mode = "device_streamed"
+        elif device_fit:
             self._kmeans_device_resident(sample, kmeans_iters=kmeans_iters)
             mode = "device"
         else:
@@ -430,7 +450,16 @@ class IVFPQIndex:
                ) -> tuple[np.ndarray, np.ndarray]:
         """-> (list assignment [N], residual PQ codes [N, code_bytes]
         uint8 in the STORAGE format — 4-bit codes arrive nibble-packed,
-        exactly as the lists store and the scan reads them)."""
+        exactly as the lists store and the scan reads them).
+
+        ``vectors`` may be a DEVICE-RESIDENT jax array (a chunk from
+        storage/virtual.py or any device-side producer): then the rows
+        never cross the host link — normalize + fused encode run in
+        place and only the M-byte codes download."""
+        import jax
+
+        if isinstance(vectors, jax.Array):
+            return self._encode_device_chunk(vectors)
         x = np.asarray(vectors, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
@@ -455,6 +484,36 @@ class IVFPQIndex:
             assign[lo : lo + take] = np.asarray(a)[:take]
             codes[lo : lo + take] = np.asarray(cd)[:take].astype(np.uint8)
         return assign, codes
+
+    def _encode_device_chunk(self, xj) -> tuple[np.ndarray, np.ndarray]:
+        """Fused encode of an already-device-resident [n, D] chunk
+        (rows must be shardable: n a multiple of 8*ndev). Normalize
+        happens on device when spherical."""
+        n = int(xj.shape[0])
+        if n % (8 * self.ndev) != 0:
+            raise ValueError(
+                f"device chunk rows {n} must be a multiple of "
+                f"8*ndev={8 * self.ndev}")
+        if not hasattr(self, "_encode_fused"):
+            self._encode_fused = self._build_encode_fused()
+        spherical = self.spherical
+        enc = self._encode_fused
+
+        def builder():
+            def fn(x, rot, c, pqc):
+                if spherical:
+                    x = x / jnp.maximum(
+                        jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+                return enc(x, rot, c, pqc)
+
+            return jax.jit(fn)
+
+        fn = self._cached_fn(("encode_dev", n), builder)
+        a, cd = fn(xj, jnp.asarray(self.rotation),
+                   jnp.asarray(self._padded_centroids()),
+                   jnp.asarray(self.pq.centroids))
+        return (np.asarray(a, np.int64),
+                np.asarray(cd, np.uint8))
 
     def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
         if positions is None:

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
-from jax.sharding import PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.topk import streaming_topk
@@ -132,6 +132,185 @@ class KMeans:
         )
         return jax.jit(fn)
 
+    def _build_step_acc(self, rows_per_dev: int, dim: int):
+        """Chunk step with DEVICE-RESIDENT accumulators: like _build_step
+        but folds this chunk's psum'd partial sums into carried
+        (sums, counts, obj) replicas. The device-streamed fit
+        (_fit_device_stream) chains one call per chunk with no host sync;
+        only [k] counts and two scalars cross the link per Lloyd
+        iteration (the dev tunnel is ~22 MiB/s: downloading [K, D]
+        partials per chunk would cost minutes per iteration at
+        K=65,536)."""
+        k_pad = _round_up(self.k, self.chunk)
+        chunk, impl, k = self.chunk, self.impl, self.k
+        oc = self.onehot_chunk
+
+        def local_step(x, valid, c, sums_in, counts_in, obj_in):
+            v, idx = streaming_topk(
+                x.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+                jnp.int32(k), 1, chunk=chunk, impl=impl,
+            )
+            a = idx[:, 0]
+            score = v[:, 0] * valid[:, 0]
+            xf = x.astype(jnp.float32) * valid
+            n_oc = k_pad // oc
+
+            def body(i, carry):
+                sums, counts = carry
+                base = i * oc
+                onehot = (
+                    (a[:, None] - base) == lax.broadcasted_iota(jnp.int32, (1, oc), 1)
+                ).astype(jnp.float32) * valid
+                part = jnp.dot(onehot.T, xf, preferred_element_type=jnp.float32)
+                cnt = jnp.sum(onehot, axis=0)
+                sums = lax.dynamic_update_slice_in_dim(sums, part, base, axis=0)
+                counts = lax.dynamic_update_slice_in_dim(counts, cnt, base, axis=0)
+                return sums, counts
+
+            sums = jnp.zeros((k_pad, dim), jnp.float32)
+            counts = jnp.zeros((k_pad,), jnp.float32)
+            sums, counts = lax.fori_loop(0, n_oc, body, (sums, counts))
+
+            sums = lax.psum(sums[: self.k], SHARD_AXIS)
+            counts = lax.psum(counts[: self.k], SHARD_AXIS)
+            obj = lax.psum(jnp.sum(score), SHARD_AXIS)
+            return sums_in + sums, counts_in + counts, obj_in + obj
+
+        fn = shard_map(
+            local_step,
+            mesh=self.mesh,
+            in_specs=(P(SHARD_AXIS), P(SHARD_AXIS), P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn, donate_argnums=(3, 4, 5))
+
+    def _build_update(self, dim: int):
+        """Device-side Lloyd update + empty-split application: consumes
+        the accumulated (sums, counts) and the CURRENT padded centroids,
+        returns the next padded centroids and the convergence delta —
+        centroids stay device-resident across iterations (at K=65,536
+        a [K, D] round trip is ~2x268 MB through the link per
+        iteration)."""
+        k, k_pad = self.k, _round_up(self.k, self.chunk)
+        spherical = self.spherical
+
+        def _norm(c):
+            return c / jnp.maximum(
+                jnp.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+
+        def upd(c_pad, sums, counts, e_dst, e_src, eps):
+            c = c_pad[:k]
+            new_c = jnp.where(
+                counts[:, None] > 0,
+                sums / jnp.maximum(counts[:, None], 1.0), c)
+            if spherical:
+                new_c = _norm(new_c)
+            # empty-cluster repair (host picked (dst, src) from counts;
+            # padding slots carry dst=k and are dropped)
+            repl = jnp.take(new_c, e_src, axis=0, mode="clip") + eps
+            new_c = new_c.at[e_dst].set(repl, mode="drop")
+            if spherical:
+                new_c = _norm(new_c)
+            delta = jnp.linalg.norm(new_c - c) / np.sqrt(k)
+            out = lax.dynamic_update_slice_in_dim(
+                jnp.zeros((k_pad, dim), jnp.float32), new_c, 0, axis=0)
+            return out, delta
+
+        return jax.jit(upd, donate_argnums=(0, 1))
+
+    # fixed empty-split slab size: keeps the update jit monomorphic
+    # (a per-iteration empty count would recompile every iteration)
+    SPLIT_SLAB = 4096
+
+    def _fit_device_stream(self, src, *, iters: int, tol: float) -> np.ndarray:
+        """Lloyd iterations over a chunked DEVICE source (the virtual
+        corpus / a device-prefetching reader, storage/virtual.py):
+        chunks are (re)generated or (re)staged on device every
+        iteration, accumulators and centroids live on device, and the
+        host sees only [k] counts + 2 scalars per iteration. This is
+        the production `-c 65536` x 10M-row training path
+        (reference README.md:60) on rigs where the sample cannot be
+        re-uploaded per iteration."""
+        from ..parallel.mesh import global_put
+
+        n = len(src)
+        dim = src.shape[1]
+        ch = src.chunk_rows
+        if n < self.k:
+            raise ValueError(f"need >= k={self.k} training rows, got {n}")
+        if ch % (8 * self.ndev) != 0:
+            raise ValueError(
+                f"chunk_rows={ch} must be a multiple of 8*ndev={8 * self.ndev}")
+        norm = self.spherical and not getattr(src, "prenormalized", False)
+
+        rng = np.random.default_rng(self.seed)
+        init_idx = np.sort(rng.choice(n, size=self.k, replace=False))
+        init_rows = src.gather_rows(init_idx)
+        if norm or self.spherical:
+            init_rows = _normalize_rows(init_rows)
+        self.centroids = init_rows  # host mirror, refreshed at the end
+
+        per = ch // self.ndev
+        step = self._build_step_acc(per, dim)
+        upd = self._build_update(dim)
+        k_pad = _round_up(self.k, self.chunk)
+        zeros = jax.jit(
+            lambda: (jnp.zeros((self.k, dim), jnp.float32),
+                     jnp.zeros((self.k,), jnp.float32),
+                     jnp.zeros((), jnp.float32)),
+            out_shardings=(NamedSharding(self.mesh, P()),) * 3)
+        vj = global_put(np.ones((ch, 1), np.float32), self.mesh, P(SHARD_AXIS))
+        c_pad = global_put(self._centroids_padded(), self.mesh, P())
+
+        objective_hist = []
+        split_hist = []
+        for it in range(iters):
+            sums, counts, obj = zeros()
+            for j in range(src.num_chunks):
+                x = src.device_chunk(j)
+                sums, counts, obj = step(x, vj, c_pad, sums, counts, obj)
+            counts_h = np.asarray(counts, np.float64)
+
+            # host picks empty-split (dst, src) pairs from counts alone
+            empty = np.flatnonzero(counts_h == 0)[: self.SPLIT_SLAB]
+            order = np.argsort(-counts_h)
+            S = self.SPLIT_SLAB
+            e_dst = np.full(S, self.k, np.int32)          # k => dropped
+            e_src = np.zeros(S, np.int32)
+            eps = np.zeros((S, dim), np.float32)
+            for j, e in enumerate(empty):
+                e_dst[j] = e
+                e_src[j] = order[j % max(1, len(order))]
+                eps[j] = 1e-3 * rng.standard_normal(dim).astype(np.float32)
+            split_hist.append(int(len(empty)))
+
+            c_pad, delta = upd(c_pad, sums, counts,
+                               jnp.asarray(e_dst), jnp.asarray(e_src),
+                               jnp.asarray(eps))
+            mean_obj = float(obj) / n
+            objective_hist.append(mean_obj)
+            delta = float(delta)
+            logger.info(
+                "kmeans iter %d: objective=%.6f empties_split=%d delta=%.2e "
+                "(device-streamed, %d chunks)",
+                it, mean_obj, split_hist[-1], delta, src.num_chunks,
+            )
+            if delta < tol:
+                break
+
+        self.centroids = np.asarray(c_pad, np.float32)[: self.k]
+        self.stats = {
+            "k": self.k,
+            "n_train": int(n),
+            "iters_run": len(objective_hist),
+            "objective": objective_hist,
+            "empty_splits": split_hist,
+            "spherical": self.spherical,
+            "mode": "device_stream",
+        }
+        return self.centroids
+
     def _build_assign(self, rows_per_dev: int):
         chunk, impl, k = self.chunk, self.impl, self.k
 
@@ -196,6 +375,8 @@ class KMeans:
         O(batch_rows), never O(N). ``prenormalized`` skips the
         per-window normalize for callers that wrote unit rows already.
         """
+        if hasattr(data, "device_chunk"):
+            return self._fit_device_stream(data, iters=iters, tol=tol)
         sources = [data] if isinstance(data, np.ndarray) else list(data)
         n_total = sum(len(s) for s in sources)
         if n_total < self.k:
