@@ -208,6 +208,7 @@ class IVFPQIndex:
         (PQ_TRAIN_ROWS); the 65,536-centroid k-means — the part whose
         quality needs the full sample — streams a rotated memmap.
         """
+        self._rot_dev = None  # invalidate cached device train constants
         big = (
             hasattr(sample, "device_chunk")
             or isinstance(sample, np.memmap)
@@ -446,6 +447,18 @@ class IVFPQIndex:
         )
         return jax.jit(fn)
 
+    def _train_consts_dev(self):
+        """Device-resident (rotation, padded centroids, PQ centroids) —
+        uploaded ONCE per trained index, not per encode/fill chunk: at
+        K=65,536 the padded centroids alone are 268 MB, and re-uploading
+        them for each of 1579 fill chunks would swamp the link. _install
+        refreshes the same attributes for the search path."""
+        if getattr(self, "_rot_dev", None) is None:
+            self._centroids_dev = global_put(self._padded_centroids(), self.mesh)
+            self._pq_cent_dev = global_put(self.pq.centroids, self.mesh)
+            self._rot_dev = global_put(self.rotation, self.mesh)
+        return self._rot_dev, self._centroids_dev, self._pq_cent_dev
+
     def encode(self, vectors: np.ndarray, *, batch_rows: int = 1 << 18
                ) -> tuple[np.ndarray, np.ndarray]:
         """-> (list assignment [N], residual PQ codes [N, code_bytes]
@@ -459,15 +472,14 @@ class IVFPQIndex:
         import jax
 
         if isinstance(vectors, jax.Array):
-            return self._encode_device_chunk(vectors)
+            a, cd = self._encode_dispatch(vectors)
+            return np.asarray(a, np.int64), np.asarray(cd, np.uint8)
         x = np.asarray(vectors, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
         if not hasattr(self, "_encode_fused"):
             self._encode_fused = self._build_encode_fused()
-        rot = jnp.asarray(self.rotation)
-        c = jnp.asarray(self._padded_centroids())
-        pqc = jnp.asarray(self.pq.centroids)
+        rot, c, pqc = self._train_consts_dev()
 
         n = len(x)
         ndev = self.ndev
@@ -485,10 +497,12 @@ class IVFPQIndex:
             codes[lo : lo + take] = np.asarray(cd)[:take].astype(np.uint8)
         return assign, codes
 
-    def _encode_device_chunk(self, xj) -> tuple[np.ndarray, np.ndarray]:
+    def _encode_dispatch(self, xj):
         """Fused encode of an already-device-resident [n, D] chunk
-        (rows must be shardable: n a multiple of 8*ndev). Normalize
-        happens on device when spherical."""
+        (rows must be shardable: n a multiple of 8*ndev); returns
+        DEVICE arrays so callers can overlap the next chunk's dispatch
+        with this chunk's download (fill is link-bound, not
+        compute-bound). Normalize happens on device when spherical."""
         n = int(xj.shape[0])
         if n % (8 * self.ndev) != 0:
             raise ValueError(
@@ -509,11 +523,7 @@ class IVFPQIndex:
             return jax.jit(fn)
 
         fn = self._cached_fn(("encode_dev", n), builder)
-        a, cd = fn(xj, jnp.asarray(self.rotation),
-                   jnp.asarray(self._padded_centroids()),
-                   jnp.asarray(self.pq.centroids))
-        return (np.asarray(a, np.int64),
-                np.asarray(cd, np.uint8))
+        return fn(xj, *self._train_consts_dev())
 
     def fill(self, vectors: np.ndarray, positions: np.ndarray | None = None) -> None:
         if positions is None:
@@ -545,9 +555,31 @@ class IVFPQIndex:
         stream = prefetch_iterator(iter(chunks), depth=prefetch)
 
         def encoded():
+            # device-resident chunks pipeline: chunk i+1's encode is
+            # DISPATCHED before chunk i's codes download, hiding device
+            # compute behind the link transfer (fill is link-bound; the
+            # round-2 scale bench measured 3.7x from this overlap)
+            pending = None
+
+            def drain(p):
+                (a, cd), pos = p
+                return np.asarray(a, np.int64), np.asarray(cd, np.uint8), pos
+
             for vectors, positions in stream:
-                assign, codes = self.encode(vectors)
-                yield assign, codes, np.asarray(positions)
+                if isinstance(vectors, jax.Array):
+                    cur = (self._encode_dispatch(vectors),
+                           np.asarray(positions))
+                    if pending is not None:
+                        yield drain(pending)
+                    pending = cur
+                else:
+                    if pending is not None:  # preserve position order
+                        yield drain(pending)
+                        pending = None
+                    assign, codes = self.encode(vectors)
+                    yield assign, codes, np.asarray(positions)
+            if pending is not None:
+                yield drain(pending)
 
         self.fill_encoded_stream(encoded(), lists_dir=lists_dir)
 
@@ -979,6 +1011,14 @@ class IVFPQIndex:
 
         return jax.jit(rank)
 
+    # cap on qn*nprobe per scan dispatch: the slot arrays (3x s32[bucket],
+    # bucket ~ qn*nprobe*segs-per-list) ride the kernel's SMEM
+    # scalar-prefetch space, which is 1 MB on v5e — a 256-query x
+    # nprobe=256 sweep point reaches ~104k slots = 1.2 MB and fails to
+    # compile. Oversized batches split in half recursively; per-query
+    # results are independent so the merge is a concat.
+    SEARCH_QP_MAX = 12288
+
     def search(self, queries: np.ndarray, k: int, *, nprobe: int = 8):
         if self.packed is None:
             raise RuntimeError("fill() before search()")
@@ -987,6 +1027,11 @@ class IVFPQIndex:
             q = _normalize_rows(q)
         nprobe = min(nprobe, self.n_lists)
         qn = q.shape[0]
+        if qn > 1 and qn * nprobe > self.SEARCH_QP_MAX:
+            half = (qn + 1) // 2
+            va, pa = self.search(q[:half], k, nprobe=nprobe)
+            vb, pb = self.search(q[half:], k, nprobe=nprobe)
+            return np.concatenate([va, vb]), np.concatenate([pa, pb])
 
         if self.storage == "host":
             probe_fn = self._cached_fn(

@@ -44,7 +44,14 @@ def make_holdout_queries(
     ``source`` is an [N, D] array or a shard reader (``sample``/``__len__``).
     """
     rng = np.random.default_rng(seed)
-    if _is_reader(source):
+    if hasattr(source, "holdout_queries"):
+        # sources with planted structure provide genuinely held-out
+        # queries whose exact top-k membership is stable (virtual
+        # corpus: storage/virtual.py) — sampled corpus rows instead
+        # measure tie-breaking among their own near-duplicates
+        q = np.asarray(source.holdout_queries(
+            min(n_queries, len(source)), seed=seed), np.float32)
+    elif _is_reader(source):
         q = np.asarray(source.sample(min(n_queries, len(source)), seed=seed),
                        np.float32).copy()
     else:

@@ -24,12 +24,17 @@ round-2 VERDICT weak #2):
   must survive).
 - micro-groups of ``group_size`` consecutive rows share an *anchor*
   (center + ``noise``·N(0,I) per-component in latent space); each row is
-  its anchor plus a full-space perturbation of total norm
-  ``group_noise``. A row's exact nearest neighbours are its micro-group
-  siblings (IP ≈ 1 − group_noise²) while same-cluster strangers sit far
-  below — a gap PQ at 64 B/vec can rank, so the nprobe/recall curve
-  spans real operating points. ``group_size=1`` degenerates to a plain
-  clustered mixture.
+  its anchor plus a full-space perturbation. The first ``group_core``
+  rows of a group are CORE rows with total perturbation norm
+  ``group_noise`` (tiny); the rest are OUTER rows at
+  ``group_noise_outer`` (wide). For a core query with k = group_core,
+  the exact top-k SET is exactly the core set — membership is stable,
+  not a tie-break among equals (a group of G identical siblings caps
+  recall@k at ~k/G·…: any correct index returns a random k-subset of
+  the G near-ties; measured 0.636 at G=16, k=10). Core↔outer and
+  outer↔stranger IP gaps are set by the noise scales and must exceed
+  the PQ dot-estimate error for the curve to be nprobe-limited.
+  ``group_size=1`` degenerates to a plain clustered mixture.
 
 Everything is derived from per-chunk ``jax.random.fold_in`` keys:
 ``device_chunk(i)`` is pure and reproducible, and every consumer (fill
@@ -57,7 +62,9 @@ class VirtualSpec:
     zipf: float = 1.1
     noise: float = 0.5          # anchor jitter, per-component in latent space
     group_size: int = 16        # rows per planted micro-group
-    group_noise: float = 0.1    # total L2 norm of a row's full-space jitter
+    group_core: int = 10        # leading CORE rows per group (tight)
+    group_noise: float = 0.05   # total L2 norm of a CORE row's jitter
+    group_noise_outer: float = 0.5  # total L2 norm of an OUTER row's jitter
     seed: int = 0
     chunk_rows: int = 131072    # generation / row-group granule
 
@@ -69,6 +76,10 @@ class VirtualSpec:
             raise ValueError(
                 f"chunk_rows={self.chunk_rows} must be a multiple of "
                 f"group_size={self.group_size}")
+        if not 1 <= self.group_core <= self.group_size:
+            raise ValueError(
+                f"group_core={self.group_core} must be in "
+                f"[1, group_size={self.group_size}]")
 
 
 def write_spec(data_dir: str | Path, spec: VirtualSpec) -> Path:
@@ -171,9 +182,13 @@ class VirtualShardReader:
                 jnp.linalg.norm(anchors, axis=1, keepdims=True), 1e-12)
             rows = jnp.broadcast_to(
                 anchors[:, None, :], (mg, G, D)).reshape(mg * G, D)
-            # group_noise is the TOTAL perturbation norm: per-component
-            # sigma = group_noise / sqrt(D)
-            rows = rows + (s.group_noise / np.sqrt(D)) * jax.random.normal(
+            # noise scales are TOTAL perturbation norms: per-component
+            # sigma = scale / sqrt(D); core rows tight, outer rows wide
+            sig = np.full((G,), s.group_noise, np.float32)
+            sig[s.group_core:] = s.group_noise_outer
+            sig_row = jnp.broadcast_to(
+                jnp.asarray(sig)[None, :, None], (mg, G, 1)).reshape(mg * G, 1)
+            rows = rows + (sig_row / np.sqrt(D)) * jax.random.normal(
                 kn, (mg * G, D), jnp.float32)
             return rows / jnp.maximum(
                 jnp.linalg.norm(rows, axis=1, keepdims=True), 1e-12)
@@ -228,6 +243,62 @@ class VirtualShardReader:
             out[:n] = rows
             return out
         return rows
+
+    def holdout_queries(self, n: int, *, seed: int = 0) -> np.ndarray:
+        """Held-out benchmark queries: a fresh draw at CORE noise around
+        n random group anchors. The exact top-``group_core`` set of
+        query i is exactly group g_i's core rows — membership is stable
+        by construction, so recall@k (k = group_core) measures probe +
+        PQ ranking quality, not tie-breaking among near-equal scores
+        (tune.make_holdout_queries prefers this when the source offers
+        it; parquet readers fall back to sampled corpus rows)."""
+        import jax
+        import jax.numpy as jnp
+
+        self._ensure_gen()
+        s = self.spec
+        mg = s.chunk_rows // s.group_size
+        rng = np.random.default_rng(seed)
+        groups = np.sort(rng.choice(
+            (len(self) // s.group_size), size=n, replace=False))
+
+        if not hasattr(self, "_anchor_fn"):
+            DI, D = s.d_int, s.dim
+
+            def anchors_of(key, qkey, locals_, basis, centers, p):
+                # EXACTLY the corpus generator's anchor derivation
+                ka, kc, _ = jax.random.split(key, 3)
+                labels = jax.random.choice(kc, s.n_clusters, shape=(mg,), p=p)
+                low = jnp.take(centers, labels, axis=0) \
+                    + s.noise * jax.random.normal(ka, (mg, DI), jnp.float32)
+                anchors = jnp.dot(low, basis.T,
+                                  preferred_element_type=jnp.float32)
+                anchors = anchors / jnp.maximum(
+                    jnp.linalg.norm(anchors, axis=1, keepdims=True), 1e-12)
+                a = jnp.take(anchors, locals_, axis=0)
+                # held-out jitter: key disjoint from every corpus key
+                q = a + (s.group_noise / np.sqrt(D)) * jax.random.normal(
+                    qkey, a.shape, jnp.float32)
+                return q / jnp.maximum(
+                    jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+
+            self._anchor_fn = jax.jit(anchors_of)
+
+        out = np.empty((n, s.dim), np.float32)
+        lo = 0
+        cis = groups // mg
+        while lo < n:
+            hi = lo
+            ci = cis[lo]
+            while hi < n and cis[hi] == ci:
+                hi += 1
+            q = self._anchor_fn(
+                jax.random.fold_in(self._base, int(ci)),
+                jax.random.fold_in(self._base, 2**31 - 1 - int(ci) - seed),
+                jnp.asarray(groups[lo:hi] % mg), *self._params)
+            out[lo:hi] = np.asarray(q, np.float32)
+            lo = hi
+        return out
 
     def train_view(self, n: int) -> "VirtualTrainSample":
         """Training subset as a device-streamable view: evenly spaced

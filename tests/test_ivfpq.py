@@ -243,3 +243,23 @@ def test_ivfpq_4bit_codes_are_nibble_packed(rng, tmp_path):
     v2, p2 = idx2.search(q, 5, nprobe=8)
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+
+def test_search_query_split_matches_unsplit(rng, monkeypatch):
+    """Oversized qn*nprobe batches split recursively (the slot arrays
+    ride SMEM scalar-prefetch, 1 MB on v5e: a 256q x nprobe=256 tune
+    point overflowed it at 8.4M rows). Split results must equal the
+    unsplit scan's."""
+    n, d = 3000, 32
+    x = _normed(rng, n, d)
+    q = _queries_near(rng, x, 24)
+    idx = IVFPQIndex(8, d, pq_m=8, pq_nbits=8, use_opq=False,
+                     mesh=build_mesh(), seg_size=64, chunk=128, seed=0)
+    idx.train(x[:2000], kmeans_iters=4, pq_iters=4)
+    idx.fill(x)
+
+    v_ref, p_ref = idx.search(q, 5, nprobe=8)      # 24*8=192 < cap
+    monkeypatch.setattr(IVFPQIndex, "SEARCH_QP_MAX", 48)  # force 4-way split
+    v_sp, p_sp = idx.search(q, 5, nprobe=8)
+    np.testing.assert_array_equal(p_ref, p_sp)
+    np.testing.assert_allclose(v_ref, v_sp, rtol=1e-5, atol=1e-5)
