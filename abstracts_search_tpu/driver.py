@@ -60,6 +60,7 @@ class Driver:
         self.mesh = mesh if mesh is not None else build_mesh()
         self._embedder_name = embedder
         self._embedder = None
+        self._filled_index = None
 
         self.manifest_path = self.root / "manifest.txt"
         self.events_dir = self.root / cfg.events_dir
@@ -204,12 +205,15 @@ class Driver:
         return True
 
     def _load_index(self, *, filled: bool) -> IVFPQIndex:
+        if filled and self._filled_index is not None:
+            return self._filled_index
         d = self.filled_dir if filled else self.empty_dir
         return IVFPQIndex.load(d, mesh=self.mesh, storage=self.cfg.index_storage,
                                hot_budget_bytes=self.cfg.index_hot_bytes)
 
-    def target_fill(self, *, force: bool = False) -> bool:
-        self.target_train()
+    def target_fill(self, *, force: bool = False,
+                    kmeans_iters: int = 10) -> bool:
+        self.target_train(kmeans_iters=kmeans_iters)
         fp = self._data_fingerprint()
         if (
             not force and self.fill_stamp.exists()
@@ -219,6 +223,7 @@ class Driver:
             logger.info("fill: up to date")
             return False
 
+        self._filled_index = None
         index = self._load_index(filled=False)
         reader = self._reader()
         self.filled_dir.mkdir(parents=True, exist_ok=True)
@@ -253,11 +258,58 @@ class Driver:
         ids_tmp.replace(self.ids_path)
         index.save(self.filled_dir)
         self.fill_stamp.write_text(json.dumps(fp))
+        # fill ends with the packed lists installed on device; keep the
+        # instance so a same-process tune/serve skips a from-disk reload
+        # + reinstall (12.5 GiB of hot lists re-crossing the link at 207M)
+        self._filled_index = index
         logger.info("fill: %d vectors indexed", n_rows)
         return True
 
-    def target_tune(self, *, force: bool = False, n_queries: int = 256,
-                    k: int = 10, target_recall: float = 0.95) -> bool:
+    # tune defaults shared by target_tune / the oracle precompute
+    TUNE_QUERIES = 256
+    TUNE_K = 10
+
+    def _tune_oracle_kw(self, n_queries: int, k: int) -> dict:
+        """Cache path + identity key for the tune ground truth: the
+        exact oracle is a full corpus pass (~850 GB of host->device
+        traffic at 207M) but depends only on this key — cache it next
+        to the index artifacts so re-tunes cost seconds (reference's
+        cheap re-runnable tune stage, Makefile:30-32)."""
+        n_rows = len(self._reader())
+        return dict(
+            oracle_cache=self.index_dir / "tune_oracle.npz",
+            oracle_key={
+                "fingerprint": self._data_fingerprint(),
+                "n_queries": int(min(n_queries, n_rows)),
+                "k": int(k), "seed": 0,
+                "spherical": bool(self.cfg.normalize),
+            },
+        )
+
+    def _ensure_tune_oracle(self, *, n_queries: int | None = None,
+                            k: int | None = None) -> None:
+        """Compute + persist the exact tune oracle if the cache misses.
+
+        Called BEFORE the filled index is loaded/installed: streaming
+        the corpus oracle needs chunk-generation/upload workspace, and
+        at 207M the installed hot lists already hold ~12.5 GiB of the
+        16 GiB HBM — coexisting puts the chip within reach of the
+        resident-memory wedge (CLAUDE.md). Sequencing oracle -> install
+        keeps both phases comfortably bounded."""
+        from .index.tune import ensure_oracle_cache
+
+        n_queries = self.TUNE_QUERIES if n_queries is None else n_queries
+        k = self.TUNE_K if k is None else k
+        kw = self._tune_oracle_kw(n_queries, k)
+        ensure_oracle_cache(
+            kw["oracle_cache"], kw["oracle_key"], self._reader(),
+            k=k, mesh=self.mesh, spherical=bool(self.cfg.normalize),
+        )
+
+    def target_tune(self, *, force: bool = False, n_queries: int | None = None,
+                    k: int | None = None, target_recall: float = 0.95) -> bool:
+        n_queries = self.TUNE_QUERIES if n_queries is None else n_queries
+        k = self.TUNE_K if k is None else k
         self.target_train()
         if self.params_path.exists() and not force:
             logger.info("tune: params.json present, skipping")
@@ -272,23 +324,13 @@ class Driver:
         reader = self._reader()
         cache_kw = {}
         if self.filled_dir.is_dir():
+            # oracle first (cache hit when target_all precomputed it),
+            # THEN install — see _ensure_tune_oracle on HBM coexistence
+            self._ensure_tune_oracle(n_queries=n_queries, k=k)
             index = self._load_index(filled=True)
             source = reader
             n_rows = len(reader)
-            # the exact oracle is a full corpus pass (~850 GB of
-            # host->device traffic at 207M) but depends only on this
-            # key — cache it next to the index artifacts so re-tunes
-            # cost seconds (reference's cheap re-runnable tune stage,
-            # Makefile:30-32)
-            cache_kw = dict(
-                oracle_cache=self.index_dir / "tune_oracle.npz",
-                oracle_key={
-                    "fingerprint": self._data_fingerprint(),
-                    "n_queries": int(min(n_queries, n_rows)),
-                    "k": int(k), "seed": 0,
-                    "spherical": bool(getattr(index, "spherical", False)),
-                },
-            )
+            cache_kw = self._tune_oracle_kw(n_queries, k)
         else:
             index = self._load_index(filled=False)
             sample = reader.sample(min(len(reader), self.cfg.tune_sample))
@@ -311,7 +353,7 @@ class Driver:
         logger.info("tune: nprobe=%d recall=%.3f", params["nprobe"], params["achieved_recall"])
         return True
 
-    def target_all(self) -> None:
+    def target_all(self, *, kmeans_iters: int = 10) -> None:
         """fill + tune (Makefile:18), pulling build/dump as needed.
 
         Stage timings land in <index_dir>/build_report.json and, with
@@ -331,8 +373,14 @@ class Driver:
             if self.store_path.exists():
                 with timer.stage("dump"):
                     self.target_dump()
+        if self.data_dir.is_dir() and not self.params_path.exists():
+            # exact-oracle pass BEFORE fill installs the lists on device
+            # (HBM sequencing, see _ensure_tune_oracle); cached, so sync
+            # re-runs skip it
+            with timer.stage("tune_oracle"), profile_scope("tune_oracle"):
+                self._ensure_tune_oracle()
         with timer.stage("fill"), profile_scope("fill"):
-            self.target_fill()
+            self.target_fill(kmeans_iters=kmeans_iters)
         with timer.stage("tune"), profile_scope("tune"):
             self.target_tune()
         self.index_dir.mkdir(parents=True, exist_ok=True)

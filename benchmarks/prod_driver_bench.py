@@ -1,0 +1,146 @@
+"""Production-config build at full scale through the REAL driver.
+
+Round-2 VERDICT missing #3: the reference's released index is built with
+`sidecar-search index train -N -c 65536` over a ~10M-row training subset
+(/root/reference/README.md:60), filled with all 206,962,688 rows, tuned,
+and served. This runner executes exactly that flag set through
+`Driver.target_all()` — NOT index internals — against the
+device-generated virtual corpus (storage/virtual.py: a `virtual.json` in
+the data dir; the parquet path is differentially tested against it at
+small scale), capturing:
+
+- `build_report.json` (per-stage wall clock, incl. the pre-fill exact
+  oracle pass) and `params.json` (the tuned operating point) at scale,
+- a cached re-tune timing (VERDICT missing #4: re-tunes must cost
+  seconds, not a corpus pass),
+- a serve-path QPS + recall@k measurement at the tuned nprobe.
+
+Run (defaults = the production point; ~1-2 h on one v5e through the
+tunnel):
+
+    python benchmarks/prod_driver_bench.py                  # 207M
+    python benchmarks/prod_driver_bench.py --n 8388608      # validation
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+FULL_N = 206_962_688  # the reference corpus size (= 1579 x 131072)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=FULL_N)
+    ap.add_argument("--root", default="/tmp/astpu_prod207m")
+    ap.add_argument("--lists", type=int, default=65_536)  # TRAINFLAGS -c
+    ap.add_argument("--train-sample", type=int, default=10_000_000)
+    ap.add_argument("--pq-m", type=int, default=128)
+    ap.add_argument("--pq-nbits", type=int, default=4)
+    ap.add_argument("--kmeans-iters", type=int, default=10)
+    ap.add_argument("--storage", default="hybrid")
+    ap.add_argument("--hot-gb", type=float, default=12.5,
+                    help="hybrid hot-list HBM budget per chip")
+    ap.add_argument("--batch", type=int, default=256, help="serve QPS batch")
+    # smoke-test shrinkers (production values by default)
+    ap.add_argument("--dim", type=int, default=1024)
+    ap.add_argument("--chunk-rows", type=int, default=131_072)
+    ap.add_argument("--clusters", type=int, default=65_536,
+                    help="corpus mixture clusters (virtual.json)")
+    args = ap.parse_args()
+
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.driver import Driver
+    from abstracts_search_tpu.index.tune import load_oracle_cache, read_params
+    from abstracts_search_tpu.storage.virtual import VirtualSpec, write_spec
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    data_dir = root / "data"
+    spec = VirtualSpec(
+        n=args.n, dim=args.dim, d_int=64, n_clusters=args.clusters, zipf=1.1,
+        group_size=16, group_core=10, group_noise=0.05,
+        group_noise_outer=0.5, seed=0, chunk_rows=args.chunk_rows,
+    )
+    if not (data_dir / "virtual.json").exists():
+        write_spec(data_dir, spec)
+
+    cfg = Config(
+        data_dir=str(data_dir),
+        index_dir=str(root / "index"),
+        store_path=str(root / "data.sqlite"),
+        events_dir=str(root / "events"),
+        ivf_centroids=args.lists,
+        train_sample=args.train_sample,
+        pq_m=args.pq_m, pq_nbits=args.pq_nbits,
+        normalize=True,                      # TRAINFLAGS -N
+        index_storage=args.storage,
+        index_hot_bytes=int(args.hot_gb * (1 << 30)),
+        embed_dim=args.dim,
+    )
+    drv = Driver(cfg, root=root)
+
+    print(f"[prod] n={args.n:,} lists={args.lists} sample={args.train_sample:,} "
+          f"PQ{args.pq_m}x{args.pq_nbits} storage={args.storage}", flush=True)
+
+    t0 = time.perf_counter()
+    drv.target_all(kmeans_iters=args.kmeans_iters)
+    t_all = time.perf_counter() - t0
+    print(f"[prod] target_all: {t_all:.0f} s", flush=True)
+
+    report = json.loads((drv.index_dir / "build_report.json").read_text())
+    params = read_params(drv.params_path)
+    print("[prod] params.json:", json.dumps(params["operating_points"]),
+          flush=True)
+
+    # cached re-tune: must cost seconds (sweep only), not a corpus pass
+    t0 = time.perf_counter()
+    drv.target_tune(force=True)
+    t_retune = time.perf_counter() - t0
+    print(f"[prod] cached re-tune: {t_retune:.1f} s", flush=True)
+
+    # serve-path QPS + recall at the tuned operating point, on the
+    # in-process filled index (fill leaves it installed)
+    kw = drv._tune_oracle_kw(drv.TUNE_QUERIES, drv.TUNE_K)
+    queries, ref = load_oracle_cache(kw["oracle_cache"], kw["oracle_key"])
+    index = drv._load_index(filled=True)
+    params = read_params(drv.params_path)
+    nprobe, k = params["nprobe"], params["k"]
+
+    rng = np.random.default_rng(7)
+    qb = queries[rng.integers(0, len(queries), size=args.batch)]
+    index.search(qb, k, nprobe=nprobe)           # warm/compile
+    reps, t0 = 10, time.perf_counter()
+    for _ in range(reps):
+        index.search(qb, k, nprobe=nprobe)
+    dt = (time.perf_counter() - t0) / reps
+    qps = args.batch / dt
+
+    _, got = index.search(queries, k, nprobe=nprobe)
+    recall = float(np.mean([
+        len(set(got[i]) & set(ref[i])) / k for i in range(len(queries))
+    ]))
+
+    out = {
+        "n": args.n, "lists": args.lists,
+        "train_sample": min(args.train_sample, args.n),
+        "pq": f"{args.pq_m}x{args.pq_nbits}", "storage": args.storage,
+        "wall_s": round(t_all, 1), "stages": report,
+        "nprobe": nprobe, "recall_at_k": round(recall, 4), "k": k,
+        "qps_batch": round(qps, 1), "batch": args.batch,
+        "retune_s": round(t_retune, 1),
+        "operating_points": params["operating_points"],
+    }
+    (root / "prod_report.json").write_text(json.dumps(out, indent=2))
+    print("[prod] RESULT", json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

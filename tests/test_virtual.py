@@ -256,3 +256,41 @@ def test_holdout_queries_have_stable_topk(reader, corpus):
     # held out: no query row coincides with a corpus row
     d = np.abs(q[:, None, :] - x[None, :, :]).sum(-1).min(1)
     assert d.min() > 1e-4
+
+
+def test_driver_oracle_precompute_and_index_reuse(tmp_path, vdir, monkeypatch):
+    """target_all computes the tune oracle BEFORE fill installs lists on
+    device (at 207M the corpus-streaming oracle must not coexist with
+    12.5 GiB of installed hot lists — HBM wedge headroom), and tune
+    reuses the in-process filled index instead of a from-disk reload
+    (which would re-upload the hot lists through the link)."""
+    from pathlib import Path
+
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+
+    drv = _driver_for(tmp_path, vdir, ivf_centroids=32, train_sample=2048,
+                      pq_m=16, pq_nbits=8, tune_sample=4096)
+
+    oracle_at_fill = []
+    orig_fill = drv.target_fill
+    monkeypatch.setattr(drv, "target_fill", lambda **kw: (
+        oracle_at_fill.append((drv.index_dir / "tune_oracle.npz").exists()),
+        orig_fill(**kw))[1])
+
+    loads = []
+    orig_load = IVFPQIndex.load.__func__
+    monkeypatch.setattr(
+        IVFPQIndex, "load",
+        classmethod(lambda cls, d, **kw: loads.append(str(d))
+                    or orig_load(cls, d, **kw)))
+
+    drv.target_all()
+    assert oracle_at_fill == [True]          # oracle cached before fill ran
+    assert not any("index" in Path(p).name for p in loads), loads
+    # standalone tune in a FRESH driver (no in-process index) must load
+    # from disk and still hit the oracle cache
+    drv2 = _driver_for(tmp_path, vdir, ivf_centroids=32, train_sample=2048,
+                       pq_m=16, pq_nbits=8, tune_sample=4096)
+    loads.clear()
+    assert drv2.target_tune(force=True, n_queries=32, k=5)
+    assert any(Path(p).name == "index" for p in loads), loads
