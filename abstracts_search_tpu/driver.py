@@ -35,13 +35,19 @@ from .config import Config
 from .ingest.manifest import default_fetcher, parse_manifest, update_manifest_file
 from .ingest.sync import SyncState, sync
 from .models.registry import get_embedder
-from .parallel.mesh import build_mesh
+from .parallel.mesh import build_mesh, process_barrier
 from .storage.shards import ShardReader, dump_store_to_shards, load_shards_to_store
 from .storage.sqlite_store import EmbeddingStore, init_store
 from .index.ivfpq import IVFPQIndex
 from .index.tune import tune_index, write_params
 
 logger = logging.getLogger(__name__)
+
+
+def _process_index() -> int:
+    import jax
+
+    return jax.process_index()
 
 
 class Driver:
@@ -114,23 +120,83 @@ class Driver:
     # -- targets ------------------------------------------------------------------
 
     def target_build(self) -> dict:
-        """Manifest fetch + incremental partition ingest."""
+        """Manifest fetch + incremental partition ingest.
+
+        Multi-controller: partitions are split by ownership
+        (``i % process_count == process_index``); each host embeds its
+        share into a per-host store (``data.sqlite.p<pid>``) and stamps
+        only its partitions — dump merges the host stores
+        (``_merge_host_stores``). Single host: unchanged."""
+        import jax
+
+        pid, count = _process_index(), jax.process_count()
         raw = self.fetcher(self.cfg.manifest_url)
         urls = parse_manifest(raw)
-        changed = update_manifest_file(self.manifest_path, urls)
-        logger.info("manifest: %d part urls (%s)", len(urls),
-                    "updated" if changed else "unchanged")
+        if pid == 0:
+            changed = update_manifest_file(self.manifest_path, urls)
+            logger.info("manifest: %d part urls (%s)", len(urls),
+                        "updated" if changed else "unchanged")
+        process_barrier("driver-manifest")
         state = SyncState(self.events_dir)
-        store = self._store(create=True)
+        if count == 1:
+            store = self._store(create=True)
+            owner = None
+        else:
+            p = self.store_path.with_name(self.store_path.name + f".p{pid}")
+            store = init_store(p) if not p.exists() else EmbeddingStore(p)
+            owner = (pid, count)
         try:
-            return sync(urls, state, self.embedder, store,
-                        batch_size=self.cfg.embed_batch,
-                        buffer_bytes=self.cfg.ingest_buffer_bytes)
+            out = sync(urls, state, self.embedder, store,
+                       batch_size=self.cfg.embed_batch,
+                       buffer_bytes=self.cfg.ingest_buffer_bytes,
+                       owner=owner)
         finally:
             store.close()
+        process_barrier("driver-build")
+        return out
+
+    def _merge_host_stores(self) -> int:
+        """Fold per-host ingest stores (``data.sqlite.p<pid>``) into the
+        main store — sqlite ATTACH + INSERT OR REPLACE, id-keyed so
+        re-merges are idempotent. Called by dump on process 0."""
+        parts = sorted(self.store_path.parent.glob(self.store_path.name + ".p*"))
+        if not parts:
+            return 0
+        store = self._store(create=True)
+        merged = 0
+        try:
+            for p in parts:
+                store.conn.execute("ATTACH DATABASE ? AS src", (str(p),))
+                cur = store.conn.execute(
+                    "INSERT OR REPLACE INTO works SELECT * FROM src.works")
+                merged += cur.rowcount
+                # meta too (the `dim` key — iter_batches needs it)
+                store.conn.execute(
+                    "INSERT OR REPLACE INTO meta SELECT * FROM src.meta")
+                store.conn.commit()
+                store.conn.execute("DETACH DATABASE src")
+        finally:
+            store.close()
+        logger.info("merged %d rows from %d host stores", merged, len(parts))
+        return merged
 
     def target_dump(self, *, force: bool = False) -> int:
-        """Export sqlite -> parquet when the event set changed."""
+        """Export sqlite -> parquet when the event set changed.
+
+        Multi-controller: single-writer — process 0 first folds the
+        per-host ingest stores into the main store, then dumps; other
+        processes wait at the barrier (they all read the shared parquet
+        dir afterwards)."""
+        if _process_index() != 0:
+            process_barrier("driver-dump")
+            return 0
+        try:
+            self._merge_host_stores()
+            return self._dump_locked(force=force)
+        finally:
+            process_barrier("driver-dump")
+
+    def _dump_locked(self, *, force: bool = False) -> int:
         current = set(SyncState(self.events_dir).completed())
         copied = (
             set(p.name for p in self.published_events.iterdir())
@@ -197,10 +263,14 @@ class Driver:
         )
         stats = index.train(sample, kmeans_iters=kmeans_iters,
                             workdir=self.data_dir / ".astpu_cache")
-        index.save(self.empty_dir, include_lists=False)
-        self.untuned_path.parent.mkdir(parents=True, exist_ok=True)
-        from .index.ivfpq import _json_safe
-        self.untuned_path.write_text(json.dumps(_json_safe(stats), indent=2))
+        # training is collective (every controller ran the same SPMD
+        # programs on the shared mesh); artifacts are single-writer
+        if _process_index() == 0:
+            index.save(self.empty_dir, include_lists=False)
+            self.untuned_path.parent.mkdir(parents=True, exist_ok=True)
+            from .index.ivfpq import _json_safe
+            self.untuned_path.write_text(json.dumps(_json_safe(stats), indent=2))
+        process_barrier("driver-train")
         logger.info("train: %d lists trained on %d rows", n_lists, len(sample))
         return True
 
@@ -231,16 +301,20 @@ class Driver:
         # ids.parquet streams row-group-by-row-group alongside the fill —
         # round 1 held all 207M id strings in a Python list (VERDICT.md
         # missing #3); the artifact maps positions -> OpenAlex work ids
-        # (reference Makefile:11, README.md:16)
+        # (reference Makefile:11, README.md:16). Single-writer on a
+        # multi-controller mesh (every process iterates the same shared
+        # row groups; process 0 owns the artifact).
+        writes = _process_index() == 0
         ids_tmp = self.ids_path.with_name(self.ids_path.name + ".tmp")
-        writer = _IdsWriter(ids_tmp)
+        writer = _IdsWriter(ids_tmp) if writes else None
         n_rows = 0
 
         def chunks():
             nonlocal n_rows
             pos = 0
             for ids, embs in reader.iter_row_groups():
-                writer.write(ids)
+                if writer is not None:
+                    writer.write(ids)
                 positions = np.arange(pos, pos + len(embs), dtype=np.int64)
                 pos += len(embs)
                 n_rows = pos
@@ -251,13 +325,16 @@ class Driver:
         try:
             index.fill_stream(chunks(), lists_dir=self.filled_dir / "lists")
         except BaseException:
-            writer.close()
-            ids_tmp.unlink(missing_ok=True)
+            if writer is not None:
+                writer.close()
+                ids_tmp.unlink(missing_ok=True)
             raise
-        writer.close()
-        ids_tmp.replace(self.ids_path)
-        index.save(self.filled_dir)
-        self.fill_stamp.write_text(json.dumps(fp))
+        if writer is not None:
+            writer.close()
+            ids_tmp.replace(self.ids_path)
+            index.save(self.filled_dir)
+            self.fill_stamp.write_text(json.dumps(fp))
+        process_barrier("driver-fill")
         # fill ends with the packed lists installed on device; keep the
         # instance so a same-process tune/serve skips a from-disk reload
         # + reinstall (12.5 GiB of hot lists re-crossing the link at 207M)
@@ -349,7 +426,9 @@ class Driver:
             index, source, n_queries=min(n_queries, n_rows),
             k=k, target_recall=target_recall, **cache_kw,
         )
-        write_params(self.params_path, params)
+        if _process_index() == 0:
+            write_params(self.params_path, params)
+        process_barrier("driver-tune")
         logger.info("tune: nprobe=%d recall=%.3f", params["nprobe"], params["achieved_recall"])
         return True
 

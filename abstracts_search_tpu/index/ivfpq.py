@@ -734,6 +734,10 @@ class IVFPQIndex:
                 np.asarray(positions, np.int64).tofile(pf)
                 n_local += len(codes)
         logger.info("fill[p%d]: spilled %d local rows", pid, n_local)
+        # ownership breadcrumb (diagnostics + the 2-process test reads
+        # it back to assert the per-host split actually happened)
+        (lists_dir / f".owner_p{pid}.json").write_text(
+            json.dumps({"process": pid, "rows": n_local}))
         process_barrier("fill-spill")
 
         if pid == 0:
@@ -920,12 +924,17 @@ class IVFPQIndex:
             cnt = jnp.take(seg_cnt, probes.reshape(-1))
             percnt = jnp.sum(cnt.reshape(qn, nprobe), axis=1)
             stats = jnp.stack([jnp.sum(cnt), jnp.max(percnt)]).astype(jnp.int32)
+            if replicate:
+                # multi-controller: the host np.asarray can only read
+                # local shards — replicate the [2*ndev] stats vector
+                stats = lax.all_gather(stats, SHARD_AXIS, tiled=True)
             return probes, bias, luts, stats
 
+        replicate = jax.process_count() > 1
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(P(), P(), P(), P(), P(SHARD_AXIS)),
-            out_specs=(P(), P(), P(), P(SHARD_AXIS)),
+            out_specs=(P(), P(), P(), P() if replicate else P(SHARD_AXIS)),
             check_vma=False,
         )
         return jax.jit(fn)

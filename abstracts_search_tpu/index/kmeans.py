@@ -31,7 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..ops.topk import streaming_topk
-from ..parallel.mesh import SHARD_AXIS, build_mesh
+from ..parallel.mesh import SHARD_AXIS, build_mesh, global_put
 
 logger = logging.getLogger(__name__)
 
@@ -313,18 +313,27 @@ class KMeans:
 
     def _build_assign(self, rows_per_dev: int):
         chunk, impl, k = self.chunk, self.impl, self.k
+        # multi-controller: np.asarray on the caller side can only read
+        # process-local shards, so replicate the (tiny: 12 B/row)
+        # result via all_gather instead of returning row-sharded
+        replicate = jax.process_count() > 1
 
         def local(x, c):
             v, idx = streaming_topk(
                 x.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
                 jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
-            return v[:, 0], idx[:, 0]
+            v, idx = v[:, 0], idx[:, 0]
+            if replicate:
+                v = lax.all_gather(v, SHARD_AXIS, tiled=True)
+                idx = lax.all_gather(idx, SHARD_AXIS, tiled=True)
+            return v, idx
 
+        out = (P(), P()) if replicate else (P(SHARD_AXIS), P(SHARD_AXIS))
         fn = shard_map(
             local, mesh=self.mesh,
             in_specs=(P(SHARD_AXIS), P()),
-            out_specs=(P(SHARD_AXIS), P(SHARD_AXIS)),
+            out_specs=out,
             check_vma=False,
         )
         return jax.jit(fn)
@@ -553,7 +562,9 @@ class KMeans:
         x = np.asarray(x, np.float32)
         if self.spherical:
             x = _normalize_rows(x)
-        c = jnp.asarray(self._centroids_padded())
+        # global_put: multi-controller meshes need per-host shard
+        # materialization (plain device_put on one process)
+        c = global_put(self._centroids_padded(), self.mesh)
         scores = np.empty(len(x), np.float32)
         assign = np.empty(len(x), np.int64)
         for lo in range(0, len(x), batch_rows):
@@ -562,7 +573,7 @@ class KMeans:
             per = xp.shape[0] // self.ndev
             if self._assign_fn is None or self._assign_fn[0] != per:
                 self._assign_fn = (per, self._build_assign(per))
-            v, a = self._assign_fn[1](jnp.asarray(xp), c)
+            v, a = self._assign_fn[1](global_put(xp, self.mesh, P(SHARD_AXIS)), c)
             scores[lo : lo + len(xc)] = np.asarray(v)[: len(xc)]
             assign[lo : lo + len(xc)] = np.asarray(a)[: len(xc)]
         return scores, assign

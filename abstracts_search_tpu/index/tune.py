@@ -169,7 +169,14 @@ def ensure_oracle_cache(path, key: dict, source, *, k: int, mesh=None,
         queries = queries / np.maximum(
             np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
     _, ref = exact_ground_truth(source, queries, k, mesh=mesh, chunk=chunk)
-    save_oracle_cache(path, key, queries, ref)
+    # the oracle pass is collective; the cache file is single-writer
+    import jax
+
+    from ..parallel.mesh import process_barrier
+
+    if jax.process_index() == 0:
+        save_oracle_cache(path, key, queries, ref)
+    process_barrier("tune-oracle")
     return True
 
 

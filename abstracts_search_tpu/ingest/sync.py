@@ -180,11 +180,23 @@ def sync(
     use_native_filter: bool = True,
     compressed: bool = True,
     buffer_bytes: int = 256 << 20,
+    owner: tuple[int, int] | None = None,
 ) -> dict[str, int]:
     """Ingest every partition that has no stamp yet (quarterly sync semantics,
-    reference README.md:63-65: rerunning is incremental)."""
+    reference README.md:63-65: rerunning is incremental).
+
+    ``owner=(process_id, process_count)``: multi-host builds split the
+    manifest by PARTITION ownership — host p ingests partitions where
+    ``i % count == p`` into its own store/stamp set (stores merge at
+    dump; DESIGN.md §7). None = own everything (single host).
+    """
     groups = group_by_partition(manifest_urls)
     todo = state.pending(groups.keys())
+    if owner is not None:
+        pid, count = owner
+        all_parts = sorted(groups.keys())
+        mine = {p for i, p in enumerate(all_parts) if i % count == pid}
+        todo = [p for p in todo if p in mine]
     results: dict[str, int] = {}
     for part in sorted(todo):
         logger.info("ingesting partition %s (%d part files)", part, len(groups[part]))

@@ -220,3 +220,34 @@ def test_publish_stages_recoverable_tree(pipeline, monkeypatch, capsys):
     cfg2 = cfg.replace(data_dir=str(emb / "data"), store_path=str(tmp_path / "r.sqlite"))
     d2 = Driver(cfg2, root=tmp_path, embedder="hash")
     assert d2.target_recover() == 60
+
+
+def test_dump_merges_per_host_stores(pipeline):
+    """Multi-host builds ingest into per-host stores (data.sqlite.p<pid>);
+    dump on process 0 folds them into the main store first (DESIGN.md §7)."""
+    import numpy as np
+
+    from abstracts_search_tpu.storage.sqlite_store import init_store
+
+    tmp_path, cfg, d = pipeline
+    d.target_build()          # main store: 60 rows
+
+    rng = np.random.default_rng(1)
+    for pid, ids in ((0, ["https://openalex.org/Wp0a", "https://openalex.org/Wp0b"]),
+                     (1, ["https://openalex.org/Wp1a"])):
+        s = init_store(d.store_path.with_name(d.store_path.name + f".p{pid}"))
+        s.upsert(ids, rng.standard_normal((len(ids), 32)).astype(np.float32))
+        s.close()
+
+    assert d.target_dump(force=True) == 63
+    ids = set()
+    from abstracts_search_tpu.storage.shards import ShardReader
+    r = ShardReader(d.data_dir)
+    for batch_ids, _ in r.iter_row_groups():
+        ids.update(batch_ids)
+    assert {"https://openalex.org/Wp0a", "https://openalex.org/Wp0b",
+            "https://openalex.org/Wp1a"} <= ids
+    assert len(ids) == 63
+
+    # re-dump is idempotent (INSERT OR REPLACE re-merge)
+    assert d.target_dump(force=True) == 63
