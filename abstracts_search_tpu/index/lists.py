@@ -282,11 +282,16 @@ def pack_lists_external(
     list larger than bucket_bytes degrades that bucket to its size.)
     """
     n = len(assignments)
-    assignments = np.asarray(assignments, np.int64)
+    # assignments may be an int32 memmap over the spill file — never
+    # materialize an O(N) int64 copy (1.6 GB at 207M, r2 VERDICT weak
+    # #5); count in slabs and cast per-slab inside the pack passes
     out_dir = Path(out_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
 
-    counts = np.bincount(assignments, minlength=n_lists).astype(np.int64)
+    counts = np.zeros(n_lists, np.int64)
+    for lo in range(0, n, slab_rows):
+        counts += np.bincount(assignments[lo : lo + slab_rows],
+                              minlength=n_lists)
     seg_cnt = -(-counts // seg_size)
     seg_start = np.concatenate([[0], np.cumsum(seg_cnt)])[:-1]
     n_segs = max(int(seg_cnt.sum()), 1)
@@ -307,6 +312,8 @@ def pack_lists_external(
         row_mm[lo : lo + max(1, slab_rows // seg_size)] = -1
 
     if n and n * rowbytes <= bucket_bytes:
+        # small-input path: the global argsort wants a real array
+        assignments = np.asarray(assignments, np.int64)
         _pack_sorted_scatter(payloads, positions, assignments, counts,
                              seg_start, seg_size, data_mm, row_mm,
                              payload_shape, slab_rows, transposed)
@@ -405,7 +412,8 @@ def _pack_distribution(payloads, positions, assignments, counts, seg_cnt,
         ]
         # pass 1: sequential spill scan, sequential per-bucket appends
         for lo in range(0, n, slab_rows):
-            a = assignments[lo : lo + slab_rows]
+            # per-slab int64 cast (input may be an int32 memmap)
+            a = np.asarray(assignments[lo : lo + slab_rows], np.int64)
             pay = np.asarray(payloads[lo : lo + slab_rows])
             pos = np.asarray(positions[lo : lo + slab_rows], np.int64)
             ab = bucket_of_list[a]
