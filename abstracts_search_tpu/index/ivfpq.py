@@ -106,6 +106,7 @@ class IVFPQIndex:
         scan_impl: str = "auto",
         storage: str = "device",
         hot_budget_bytes: int = 1 << 30,
+        pos_map: str = "auto",
         seed: int = 0,
     ):
         self.n_lists = n_lists
@@ -133,6 +134,18 @@ class IVFPQIndex:
         # (round-1 VERDICT weak #5).
         self.storage = storage
         self.hot_budget_bytes = hot_budget_bytes
+        # pos_map: where scan hits resolve to corpus positions.
+        # "host" = the device returns flat row indices and the host maps
+        # the <= Q*k winners through the canonical row_ids (memmap) —
+        # row ids never occupy HBM (~0.9 GB at 207M) and never ride
+        # per-batch uploads in host/cold paths. "device" keeps the
+        # round-2 behavior (row_ids resident per shard; required for
+        # multi-controller runs, where no single host holds the full
+        # canonical artifact). "auto" = host in single-process runs.
+        if pos_map not in ("auto", "host", "device"):
+            raise ValueError(f"pos_map={pos_map!r}")
+        self._pos_host = (pos_map == "host" or
+                          (pos_map == "auto" and jax.process_count() == 1))
         self.seed = seed
         self.use_opq = use_opq
 
@@ -803,7 +816,8 @@ class IVFPQIndex:
         """Largest lists first until the per-device HBM budget is spent
         (mass^2 heuristic: big lists are probed most AND cost most)."""
         seg_bytes = (int(np.prod(packed.data.shape[1:]))
-                     * packed.data.dtype.itemsize + packed.seg_size * 4)
+                     * packed.data.dtype.itemsize
+                     + (0 if self._pos_host else packed.seg_size * 4))
         order = np.argsort(-packed.seg_cnt.astype(np.int64), kind="stable")
         cum = np.cumsum(packed.seg_cnt[order].astype(np.int64) * seg_bytes)
         budget_total = self.hot_budget_bytes * self.ndev
@@ -827,7 +841,7 @@ class IVFPQIndex:
         if hot_mask is None and jax.default_backend() == "tpu":
             seg_bytes = (int(np.prod(packed.data.shape[1:]))
                          * packed.data.dtype.itemsize
-                         + packed.seg_size * 4)  # + row_ids
+                         + (0 if self._pos_host else packed.seg_size * 4))
             per_dev = int(packed.seg_cnt.astype(np.int64).sum()) * seg_bytes \
                 // self.ndev
             if per_dev > self.DEVICE_INSTALL_LIMIT_BYTES:
@@ -847,11 +861,24 @@ class IVFPQIndex:
                 seg_size=packed.seg_size, n_lists=packed.n_lists,
                 n_rows=packed.n_rows, transposed=packed.transposed,
             )
-        shards = shard_lists(view, self.ndev)
+        shards = shard_lists(view, self.ndev, with_row_ids=not self._pos_host)
+        if (self._pos_host and self.ndev * int(shards.data.shape[1])
+                * packed.seg_size > (1 << 31) - 1):
+            # flat row indices ride the scan's int32 fused transfer;
+            # beyond ~2.1B padded rows fall back to device-side mapping
+            logger.warning("pos_map='host' disabled: padded row space "
+                           "exceeds int32; row_ids go to device memory")
+            self._pos_host = False
+            shards = shard_lists(view, self.ndev, with_row_ids=True)
+        dev_arrays = ((shards.data, shards.seg_valid) if self._pos_host
+                      else (shards.data, shards.row_ids, shards.seg_valid))
         self._dev_arrays = tuple(
-            global_put(a, self.mesh, P(SHARD_AXIS))
-            for a in (shards.data, shards.row_ids, shards.seg_valid)
+            global_put(a, self.mesh, P(SHARD_AXIS)) for a in dev_arrays
         )
+        # host-side row resolution state: device-local flat row ->
+        # canonical (segment, within) -> corpus position
+        self._dev_seg_map = shards.seg_canon          # [ndev, n_segs_pad] i64
+        self._dev_span = int(shards.data.shape[1]) * packed.seg_size
         # CSR resident on device too: the scan derives its slot list
         # in-jit, so no slot arrays ever upload per batch
         self._csr_dev = tuple(
@@ -1012,12 +1039,17 @@ class IVFPQIndex:
         """Shared slot-scan body: per-slot ADC -> per-slot top-k ->
         ragged per-query merge -> positions. Used by both storage modes
         (device mode indexes segments by id; host mode pre-gathers
-        tiles so seg_ids double as tile indices)."""
+        tiles so seg_ids double as tile indices).
+
+        With pos_map="host" (``row_ids`` is None) the second output
+        carries ``row_base +`` the winners' device-local flat row
+        indices instead of corpus positions; the caller resolves the
+        <= Q*k winners against the canonical row_ids on the host."""
         kind, adc = adc_tagged
         seg = self.seg_size
 
         def body(slot_bias, live_slot, luts, codes3, row_ids, seg_valid,
-                 seg_ids, q_ids, slots_of_q):
+                 seg_ids, q_ids, slots_of_q, row_base=0):
             kp = min(k, seg)
             if kind == "topk":
                 # fused: the kernel masks and selects per slot; bias is
@@ -1049,7 +1081,10 @@ class IVFPQIndex:
                 qr_ = jnp.pad(qr_, ((0, 0), (0, k - qr_.shape[1])))
             v, idx = lax.top_k(qv, k)
             rows = jnp.take_along_axis(qr_, idx, axis=1)
-            pos = jnp.take(row_ids.reshape(-1), rows)
+            if row_ids is None:
+                pos = rows + row_base
+            else:
+                pos = jnp.take(row_ids.reshape(-1), rows)
             pos = jnp.where(v > NEG_INF, pos, -1)
             return v, pos
 
@@ -1072,11 +1107,16 @@ class IVFPQIndex:
         search = probe dispatch + scan dispatch + ONE host sync."""
         seg = self.seg_size
         body = self._scan_body(qn, k, nprobe, self._adc_fn())
+        pos_host = self._pos_host
+        span = getattr(self, "_dev_span", 0)
 
-        def local(probes, bias, luts, data, row_ids, seg_valid,
-                  seg_start, seg_cnt):
-            data, row_ids, seg_valid = data[0], row_ids[0], seg_valid[0]
-            seg_start, seg_cnt = seg_start[0], seg_cnt[0]
+        def local(probes, bias, luts, *dev):
+            if pos_host:
+                data, seg_valid = dev[0][0], dev[1][0]
+                row_ids = None
+            else:
+                data, row_ids, seg_valid = dev[0][0], dev[1][0], dev[2][0]
+            seg_start, seg_cnt = dev[-2][0], dev[-1][0]
 
             pl = probes.reshape(-1)                          # [QP]
             cnt = jnp.take(seg_cnt, pl)                      # [QP] i32
@@ -1099,8 +1139,11 @@ class IVFPQIndex:
                 ar[None, :] < percnt[:, None], qoff[:, None] + ar[None, :], -1
             ).astype(jnp.int32)
 
+            row_base = (lax.axis_index(SHARD_AXIS).astype(jnp.int32)
+                        * jnp.int32(span)) if pos_host else 0
             v, pos = body(slot_bias, live_slot, luts, data, row_ids,
-                          seg_valid, seg_ids, q_ids, slots_of_q)
+                          seg_valid, seg_ids, q_ids, slots_of_q,
+                          row_base=row_base)
             v, pos = merge_topk_all_gather(v, pos, k, SHARD_AXIS)
             stats = jnp.stack([total, jnp.max(percnt)]).astype(jnp.int32)
             stats = lax.all_gather(stats, SHARD_AXIS)            # [ndev, 2]
@@ -1118,7 +1161,7 @@ class IVFPQIndex:
 
         fn = shard_map(
             local, mesh=self.mesh,
-            in_specs=(P(), P(), P()) + (P(SHARD_AXIS),) * 5,
+            in_specs=(P(), P(), P()) + (P(SHARD_AXIS),) * (4 if pos_host else 5),
             out_specs=P(),
             check_vma=False,
         )
@@ -1126,15 +1169,25 @@ class IVFPQIndex:
 
     def _build_rank_host(self, qn: int, k: int, nprobe: int, bucket: int, maxcnt: int):
         """Host mode: tiles were gathered host-side in slot order, so
-        seg_ids = iota and row_ids are per-tile."""
+        seg_ids = iota and row_ids are per-tile (pos_map="host" skips
+        the row-id tiles; hits come back as tile-local flat rows the
+        caller resolves through the slot -> canonical-segment list)."""
         body = self._scan_body(qn, k, nprobe, self._adc_fn())
 
-        def rank(bias, luts, codes3, row_ids, seg_valid,
-                 q_ids, slot_pair, slots_of_q):
-            seg_ids = jnp.arange(bucket, dtype=jnp.int32)
-            slot_bias = jnp.take(bias.reshape(-1), jnp.clip(slot_pair, 0, None))
-            return body(slot_bias, slot_pair >= 0, luts, codes3, row_ids,
-                        seg_valid, seg_ids, q_ids, slots_of_q)
+        if self._pos_host:
+            def rank(bias, luts, codes3, seg_valid,
+                     q_ids, slot_pair, slots_of_q):
+                seg_ids = jnp.arange(bucket, dtype=jnp.int32)
+                slot_bias = jnp.take(bias.reshape(-1), jnp.clip(slot_pair, 0, None))
+                return body(slot_bias, slot_pair >= 0, luts, codes3, None,
+                            seg_valid, seg_ids, q_ids, slots_of_q)
+        else:
+            def rank(bias, luts, codes3, row_ids, seg_valid,
+                     q_ids, slot_pair, slots_of_q):
+                seg_ids = jnp.arange(bucket, dtype=jnp.int32)
+                slot_bias = jnp.take(bias.reshape(-1), jnp.clip(slot_pair, 0, None))
+                return body(slot_bias, slot_pair >= 0, luts, codes3, row_ids,
+                            seg_valid, seg_ids, q_ids, slots_of_q)
 
         return jax.jit(rank)
 
@@ -1209,6 +1262,8 @@ class IVFPQIndex:
             flat = np.asarray(flat)              # the ONE host sync (int32)
             v = flat[:qk].view(np.float32).reshape(qn, k)
             pos = flat[qk:2 * qk].astype(np.int64).reshape(qn, k)
+            if self._pos_host:
+                pos = self._rows_to_pos_dev(pos)
             stats = flat[2 * qk:].reshape(-1, 2)
             return v, pos, stats                 # stats: [ndev, (total, maxq)]
 
@@ -1286,7 +1341,10 @@ class IVFPQIndex:
 
         if cold is not None:
             vc = np.asarray(cold[0])
-            pc = np.asarray(cold[1], np.int64)
+            if self._pos_host:
+                pc = self._rows_to_pos_tiles(np.asarray(cold[1]), cs[0])
+            else:
+                pc = np.asarray(cold[1], np.int64)
             av = np.concatenate([v, vc], axis=1)
             ap = np.concatenate([pos, pc], axis=1)
             sel = np.argsort(-av, axis=1, kind="stable")[:, :k]
@@ -1307,18 +1365,29 @@ class IVFPQIndex:
         # artifacts stay loadable; new ones are nibble-packed)
         codes3 = np.zeros((bucket,) + self.packed.data.shape[1:],
                           self.packed.data.dtype)
-        row_ids = np.full((bucket, self.seg_size), -1, np.int32)
         seg_valid = np.zeros(bucket, np.int32)
         live = slot_pair[0] >= 0
         lidx = sidx[live]
         codes3[live] = self.packed.data[lidx]
-        row_ids[live] = self.packed.row_ids[lidx]
         seg_valid[live] = self.packed.seg_valid[lidx]
 
         rank_fn = self._cached_fn(
             ("rank", qn, k, nprobe, bucket, maxcnt),
             lambda: self._build_rank_host(qn, k, nprobe, bucket, maxcnt),
         )
+        if self._pos_host:
+            # row-id tiles never upload: hits come back as tile rows
+            v, rows = rank_fn(
+                bias, luts, jnp.asarray(codes3), jnp.asarray(seg_valid),
+                jnp.asarray(q_ids[0]), jnp.asarray(slot_pair[0]),
+                jnp.asarray(soq[0]),
+            )
+            if not sync:
+                return v, rows  # caller resolves via _rows_to_pos_tiles(sidx)
+            return np.asarray(v), self._rows_to_pos_tiles(
+                np.asarray(rows), sidx)
+        row_ids = np.full((bucket, self.seg_size), -1, np.int32)
+        row_ids[live] = self.packed.row_ids[lidx]
         v, pos = rank_fn(
             bias, luts, jnp.asarray(codes3), jnp.asarray(row_ids),
             jnp.asarray(seg_valid), jnp.asarray(q_ids[0]),
@@ -1327,6 +1396,29 @@ class IVFPQIndex:
         if not sync:
             return v, pos
         return np.asarray(v), np.asarray(pos, np.int64)
+
+    # -- pos_map="host": row -> corpus-position resolution ------------------------
+
+    def _rows_to_pos_tiles(self, rows: np.ndarray, sidx: np.ndarray) -> np.ndarray:
+        """Resolve tile-local flat rows (tile*SEG + within, from a host
+        -gathered rank) to corpus positions via the slot -> canonical
+        -segment list and the canonical row_ids (a memmap read of at
+        most Q*k int32s)."""
+        seg = self.seg_size
+        r = np.clip(rows, 0, None)
+        canon = sidx[r // seg]
+        pos = np.asarray(self.packed.row_ids[canon, r % seg], np.int64)
+        return np.where(rows >= 0, pos, np.int64(-1))
+
+    def _rows_to_pos_dev(self, rows: np.ndarray) -> np.ndarray:
+        """Resolve device-global flat rows (dev*span + local, from the
+        resident scan) to corpus positions."""
+        seg = self.seg_size
+        r = np.clip(rows, 0, None).astype(np.int64)
+        dev, loc = r // self._dev_span, r % self._dev_span
+        canon = self._dev_seg_map[dev, loc // seg]
+        pos = np.asarray(self.packed.row_ids[canon, loc % seg], np.int64)
+        return np.where(rows >= 0, pos, np.int64(-1))
 
     # -- artifacts --------------------------------------------------------------------
 

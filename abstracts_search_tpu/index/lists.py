@@ -115,13 +115,18 @@ class DeviceShards:
     ``seg_start``/``seg_cnt`` are indexed by GLOBAL list id; unowned
     lists have cnt 0 (their start is meaningless). Device-local segment
     ids index the leading axis of that device's ``data`` slice.
+    ``seg_canon[d, s]`` maps device-local segment s back to its
+    canonical segment id in the source CSR (dead padding maps to 0) —
+    the host uses it to resolve scan row hits against the canonical
+    ``row_ids`` memmap without shipping row ids to the device.
     """
 
-    data: np.ndarray       # [ndev, n_segs_pad, SEG, *payload]
-    row_ids: np.ndarray    # [ndev, n_segs_pad, SEG] int32
-    seg_valid: np.ndarray  # [ndev, n_segs_pad] int32
-    seg_start: np.ndarray  # [ndev, n_lists] int32 (device-local)
-    seg_cnt: np.ndarray    # [ndev, n_lists] int32
+    data: np.ndarray              # [ndev, n_segs_pad, SEG, *payload]
+    row_ids: np.ndarray | None    # [ndev, n_segs_pad, SEG] int32 (None when skipped)
+    seg_valid: np.ndarray         # [ndev, n_segs_pad] int32
+    seg_start: np.ndarray         # [ndev, n_lists] int32 (device-local)
+    seg_cnt: np.ndarray           # [ndev, n_lists] int32
+    seg_canon: np.ndarray = None  # [ndev, n_segs_pad] int64
 
 
 def pack_lists(
@@ -200,12 +205,18 @@ def _seg_valid(counts, seg_cnt, seg_start, n_segs, seg_size) -> np.ndarray:
     return seg_valid
 
 
-def shard_lists(csr: CSRLists, ndev: int) -> DeviceShards:
+def shard_lists(csr: CSRLists, ndev: int, *,
+                with_row_ids: bool = True) -> DeviceShards:
     """Shard the canonical lists over ``ndev`` devices (list id % ndev).
 
     A pure function of (csr, ndev): the same artifact reopens on any
     mesh size. Hot lists spread round-robin; per-device arrays are
     padded to the max per-device segment count.
+
+    ``with_row_ids=False`` skips materializing the per-device row-id
+    blocks (the host resolves hits via ``seg_canon`` against the
+    canonical ``csr.row_ids`` instead — at 207M rows that is ~0.9 GB
+    of HBM and host RAM saved).
     """
     n_lists = csr.n_lists
     per_data, per_rows, per_valid = [], [], []
@@ -224,25 +235,49 @@ def shard_lists(csr: CSRLists, ndev: int) -> DeviceShards:
         gathered.append(seg_ids)
 
     n_segs_pad = max(max((len(g) for g in gathered), default=0), 1)
+    canon = np.zeros((ndev, n_segs_pad), np.int64)
+    for d, g in enumerate(gathered):
+        canon[d, : len(g)] = g
+
+    # Full single-device install: the canonical layout IS the shard
+    # (segments are already contiguous in list order), so serve views
+    # of the source arrays instead of copying — a 207M install would
+    # otherwise stage a ~14 GB RAM copy of the (possibly mem-mapped)
+    # codes before upload.
+    if (ndev == 1 and len(gathered[0]) == csr.n_segs
+            and np.array_equal(gathered[0],
+                               np.arange(csr.n_segs, dtype=np.int64))):
+        return DeviceShards(
+            data=csr.data[None],
+            row_ids=np.asarray(csr.row_ids)[None] if with_row_ids else None,
+            seg_valid=np.asarray(csr.seg_valid)[None],
+            seg_start=seg_start_d,
+            seg_cnt=seg_cnt_d,
+            seg_canon=canon,
+        )
+
     blk = csr.data.shape[1:]  # [SEG, *payload] or [MB, SEG]
     for g in gathered:
         data = np.zeros((n_segs_pad,) + blk, csr.data.dtype)
-        rows = np.full((n_segs_pad, csr.seg_size), -1, np.int32)
         valid = np.zeros(n_segs_pad, np.int32)
         if len(g):
             data[: len(g)] = csr.data[g]
-            rows[: len(g)] = csr.row_ids[g]
             valid[: len(g)] = csr.seg_valid[g]
         per_data.append(data)
-        per_rows.append(rows)
         per_valid.append(valid)
+        if with_row_ids:
+            rows = np.full((n_segs_pad, csr.seg_size), -1, np.int32)
+            if len(g):
+                rows[: len(g)] = csr.row_ids[g]
+            per_rows.append(rows)
 
     return DeviceShards(
         data=np.stack(per_data),
-        row_ids=np.stack(per_rows),
+        row_ids=np.stack(per_rows) if with_row_ids else None,
         seg_valid=np.stack(per_valid),
         seg_start=seg_start_d,
         seg_cnt=seg_cnt_d,
+        seg_canon=canon,
     )
 
 
@@ -487,6 +522,89 @@ def _tofile_chunked(arr: np.ndarray, path: Path, chunk_rows: int = 1 << 14) -> N
     with open(path, "wb") as f:
         for lo in range(0, arr.shape[0], chunk_rows):
             np.ascontiguousarray(arr[lo : lo + chunk_rows]).tofile(f)
+
+
+def resegment_lists(src: str | Path, dst: str | Path, seg_size: int,
+                    *, slab: int = 1 << 13) -> None:
+    """Rewrite an on-disk artifact at a smaller segment size WITHOUT
+    re-encoding the corpus: each segment splits into ``old_seg/seg_size``
+    sub-blocks (a pure slice in both layouts), and all-dead tail blocks
+    are dropped, so the rewrite also sheds the per-list tail padding.
+
+    Why: segment size trades per-slot scan overhead against tail
+    padding that must be HBM-resident. At 207M rows x 65,536 lists the
+    512-row artifact carries ~9.6% padding (13.52 GiB codes) while 256
+    carries ~4.6% (12.9 GiB) — the difference between hybrid serving
+    with a memmap cold tail and a fully device-resident index.
+    Streaming + memmap-backed: peak RAM is O(slab), not O(artifact).
+    """
+    csr = load_lists(src, mmap=True)
+    old = csr.seg_size
+    if old % seg_size or old == seg_size:
+        raise ValueError(f"seg_size {seg_size} must strictly divide {old}")
+    f = old // seg_size
+
+    v = csr.seg_valid.astype(np.int64)                      # [S]
+    sub = np.clip(v[:, None] - np.arange(f, dtype=np.int64)[None] * seg_size,
+                  0, seg_size)                              # [S, f]
+    valid2 = sub.reshape(-1)
+    keep = valid2 > 0
+    src_idx = np.nonzero(keep)[0]
+    olds, offs = src_idx // f, (src_idx % f) * seg_size
+
+    total_old = int(csr.seg_cnt.astype(np.int64).sum())
+    seg_list = np.repeat(np.arange(csr.n_lists, dtype=np.int64),
+                         csr.seg_cnt.astype(np.int64))
+    counts = np.bincount(seg_list, weights=v[:total_old],
+                         minlength=csr.n_lists).astype(np.int64)
+    new_cnt = -(-counts // seg_size)
+    new_start = np.concatenate([[0], np.cumsum(new_cnt)])[:-1]
+    if int(new_cnt.sum()) != len(src_idx):
+        raise AssertionError("resegment bookkeeping mismatch")
+    n_new = max(len(src_idx), 1)
+
+    d = Path(dst)
+    d.mkdir(parents=True, exist_ok=True)
+    blk = ((csr.data.shape[1], seg_size) if csr.transposed
+           else (seg_size,) + csr.data.shape[2:])
+    data_mm = np.memmap(d / "codes.bin", dtype=csr.data.dtype, mode="w+",
+                        shape=(n_new,) + blk)
+    rows_mm = np.memmap(d / "row_ids.bin", dtype=np.int32, mode="w+",
+                        shape=(n_new, seg_size))
+    rows_mm[:] = -1
+    for lo in range(0, len(src_idx), slab):
+        hi = min(lo + slab, len(src_idx))
+        o_s, off_s = olds[lo:hi], offs[lo:hi]
+        for j in range(f):                       # group by sub-block offset
+            m = np.nonzero(off_s == j * seg_size)[0]
+            if not len(m):
+                continue
+            sel = o_s[m]
+            cols = slice(j * seg_size, (j + 1) * seg_size)
+            if csr.transposed:
+                data_mm[lo + m] = csr.data[sel][:, :, cols]
+            else:
+                data_mm[lo + m] = csr.data[sel][:, cols]
+            rows_mm[lo + m] = csr.row_ids[sel][:, cols]
+    data_mm.flush()
+    rows_mm.flush()
+
+    seg_valid = np.zeros(n_new, np.int32)
+    seg_valid[: len(src_idx)] = valid2[src_idx]
+    np.save(d / "seg_valid.npy", seg_valid)
+    np.save(d / "seg_start.npy", new_start.astype(np.int64))
+    np.save(d / "seg_cnt.npy", new_cnt.astype(np.int32))
+    (d / _META).write_text(json.dumps({
+        "format": 3,
+        "n_segs": int(n_new),
+        "seg_size": int(seg_size),
+        "n_lists": int(csr.n_lists),
+        "n_rows": int(csr.n_rows),
+        "payload_shape": (list(csr.data.shape[1:2]) if csr.transposed
+                          else list(csr.data.shape[2:])),
+        "payload_dtype": str(csr.data.dtype),
+        "transposed": bool(csr.transposed),
+    }))
 
 
 def load_lists(directory: str | Path, *, mmap: bool = True) -> CSRLists:

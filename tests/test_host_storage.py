@@ -126,3 +126,39 @@ def test_hybrid_storage_matches_device(tmp_path, rng):
             assert st["cold_live_slots"] > 0
         if budget == 10**9:
             assert st["cold_live_slots"] == 0     # everything hot
+
+
+def test_pos_map_host_matches_device_all_storages(tmp_path, rng):
+    """pos_map="host" (scan returns flat rows; the host resolves the
+    <=Q*k winners against the canonical row_ids memmap, so row ids
+    never occupy HBM or ride per-batch uploads) must return EXACTLY
+    the device-resident mapping's results in every storage mode."""
+    n, d = 2400, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    q = x[:9] + 0.05 * rng.standard_normal((9, d)).astype(np.float32)
+
+    built = _build(rng, "device", x, pos_map="device")
+    built.save(tmp_path / "art")
+
+    for storage, kw in (
+        ("device", {}),
+        ("hybrid", {"hot_budget_bytes": 1 << 10}),  # forces a cold tail
+        ("host", {}),
+    ):
+        a = IVFPQIndex.load(tmp_path / "art", mesh=build_mesh(), chunk=128,
+                            storage=storage, pos_map="device", **kw)
+        b = IVFPQIndex.load(tmp_path / "art", mesh=build_mesh(), chunk=128,
+                            storage=storage, pos_map="host", **kw)
+        assert not a._pos_host and b._pos_host
+        if storage == "hybrid":
+            assert a._has_cold and b._has_cold
+        for nprobe in (1, 4):
+            va, pa = a.search(q, 6, nprobe=nprobe)
+            vb, pb = b.search(q, 6, nprobe=nprobe)
+            np.testing.assert_array_equal(pa, pb)
+            np.testing.assert_allclose(va, vb, rtol=1e-6, atol=1e-7)
+        # repeat exercises the speculative-shape hit path
+        va, pa = a.search(q, 6, nprobe=4)
+        vb, pb = b.search(q, 6, nprobe=4)
+        np.testing.assert_array_equal(pa, pb)

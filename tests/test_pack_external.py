@@ -106,3 +106,36 @@ def test_pack_distribution_sort_matches_inram(tmp_path, rng):
     assert peak < 90 * hot_rows + 300_000, (peak, hot_rows)
     # no leftover bucket spill dirs
     assert not list(tmp_path.glob("astpu_pack_*"))
+
+
+def test_resegment_matches_direct_pack(tmp_path, rng):
+    """resegment_lists(old -> old/2) must produce BYTE-IDENTICAL
+    artifacts to packing at the smaller seg_size directly (same row
+    order, same tail-block dropping), in both payload layouts."""
+    from abstracts_search_tpu.index.lists import (
+        load_lists, pack_lists, resegment_lists, save_lists)
+
+    n, mb, n_lists = 3000, 8, 13
+    payloads = rng.integers(0, 255, (n, mb), dtype=np.uint8)
+    positions = rng.permutation(n).astype(np.int64)
+    assigns = rng.integers(0, n_lists, n)
+    # skew: make one list huge and a few empty
+    assigns[: n // 3] = 4
+    assigns[assigns == 7] = 4
+
+    for transposed in (False, True):
+        big = pack_lists(payloads, positions, assigns, n_lists,
+                         seg_size=64, transposed=transposed)
+        ref = pack_lists(payloads, positions, assigns, n_lists,
+                         seg_size=32, transposed=transposed)
+        d_big = tmp_path / f"big{int(transposed)}"
+        d_new = tmp_path / f"new{int(transposed)}"
+        save_lists(big, d_big)
+        resegment_lists(d_big, d_new, 32)
+        got = load_lists(d_new)
+        assert got.seg_size == 32 and got.n_rows == n
+        np.testing.assert_array_equal(np.asarray(got.data), ref.data)
+        np.testing.assert_array_equal(np.asarray(got.row_ids), ref.row_ids)
+        np.testing.assert_array_equal(got.seg_valid, ref.seg_valid)
+        np.testing.assert_array_equal(got.seg_start, ref.seg_start)
+        np.testing.assert_array_equal(got.seg_cnt, ref.seg_cnt)
