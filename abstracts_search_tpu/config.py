@@ -80,11 +80,18 @@ class Config:
     pq_m: int = 128
     pq_nbits: int = 4
     opq: bool = True
-    # "device" (lists in HBM) | "host" (memmap, ondisk analog) |
-    # "hybrid" (hottest lists in HBM up to index_hot_bytes/device,
-    # cold tail from the memmap)
-    index_storage: str = "device"
+    # "auto" (device-resident when the artifact fits the per-chip
+    # install ceiling, else hybrid at that ceiling) | "device" (lists
+    # in HBM) | "host" (memmap, ondisk analog) | "hybrid" (hottest
+    # lists in HBM up to index_hot_bytes/device, cold tail from the
+    # memmap)
+    index_storage: str = "auto"
     index_hot_bytes: int = 1 << 30
+    # packed-list segment rows: smaller segments shed per-list tail
+    # padding (what keeps a 207M PQ128x4 artifact under the per-chip
+    # HBM install ceiling — benchmarks/RESULTS.md round 3) at the cost
+    # of more scan slots per probe; 256 is the production point
+    index_seg_size: int = 256
 
     # Ingest
     manifest_url: str = "https://openalex.s3.amazonaws.com/data/works/manifest"
@@ -112,6 +119,7 @@ _ENV_MAP = {
     "ASTPU_INGEST_BUFFER_BYTES": ("ingest_buffer_bytes", int),
     "ASTPU_INDEX_STORAGE": ("index_storage", str),
     "ASTPU_INDEX_HOT_BYTES": ("index_hot_bytes", int),
+    "ASTPU_INDEX_SEG_SIZE": ("index_seg_size", int),
     # Reference-compatible names (README.md:28,60)
     "SIDECARSEARCH_MODEL": ("model_name", str),
     "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),

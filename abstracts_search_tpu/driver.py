@@ -260,6 +260,7 @@ class Driver:
             use_opq=self.cfg.opq, mesh=self.mesh,
             spherical=self.cfg.normalize,
             storage=self.cfg.index_storage,
+            seg_size=self.cfg.index_seg_size,
         )
         stats = index.train(sample, kmeans_iters=kmeans_iters,
                             workdir=self.data_dir / ".astpu_cache")

@@ -131,7 +131,11 @@ class IVFPQIndex:
         # Under query-follows-data traffic, expected probed rows per
         # list scale like mass^2, so a small HBM budget absorbs most of
         # the scan and the host path stops being a 100x cliff
-        # (round-1 VERDICT weak #5).
+        # (round-1 VERDICT weak #5);
+        # "auto" = resolve device vs hybrid at install time from the
+        # artifact's actual per-chip bytes vs the install ceiling.
+        if storage not in ("device", "hybrid", "host", "auto"):
+            raise ValueError(f"storage={storage!r}")
         self.storage = storage
         self.hot_budget_bytes = hot_budget_bytes
         # pos_map: where scan hits resolve to corpus positions.
@@ -780,9 +784,37 @@ class IVFPQIndex:
         process_barrier("fill-pack")
         self._install(load_lists(lists_dir, mmap=True))
 
+    def _resolve_auto_storage(self, packed: CSRLists) -> str:
+        """storage="auto": fully device-resident when the artifact fits
+        the per-chip install ceiling, else hybrid with the hot budget
+        set to that ceiling (minus the coarse-centroid residency). Off
+        -TPU backends always resolve to device (virtual CPU meshes have
+        no HBM ceiling worth modeling)."""
+        if jax.default_backend() != "tpu":
+            return "device"
+        seg_bytes = (int(np.prod(packed.data.shape[1:]))
+                     * packed.data.dtype.itemsize
+                     + (0 if self._pos_host else packed.seg_size * 4))
+        per_dev = (int(packed.seg_cnt.astype(np.int64).sum()) * seg_bytes
+                   // self.ndev)
+        if per_dev <= self.DEVICE_INSTALL_LIMIT_BYTES:
+            return "device"
+        centroid_bytes = self.n_lists * self.dim * 4
+        self.hot_budget_bytes = max(
+            self.DEVICE_INSTALL_LIMIT_BYTES - centroid_bytes, 1 << 30)
+        logger.info(
+            "storage=auto: %.2f GiB/chip exceeds the %.1f GiB install "
+            "ceiling; serving hybrid with a %.2f GiB hot budget",
+            per_dev / (1 << 30), self.DEVICE_INSTALL_LIMIT_BYTES / (1 << 30),
+            self.hot_budget_bytes / (1 << 30),
+        )
+        return "hybrid"
+
     def _install(self, packed: CSRLists) -> None:
         self.packed = packed
         self.n = packed.n_rows
+        if self.storage == "auto":
+            self.storage = self._resolve_auto_storage(packed)
         if self.storage == "device":
             self._install_device(packed, hot_mask=None)
             self._cold_start_h = self._cold_cnt_h = None

@@ -65,27 +65,28 @@ def _adc_kernel_t(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *,
     top-k unrolls. Same op count either way: sum_c (codes==c)*lut[c]."""
     del seg_ids, q_ids
     codes = codes_ref[0].astype(jnp.int32)          # [MB, SEG]
+    mb = codes.shape[0]
 
+    # Accumulate in the full [MB, SEG] shape and reduce over sublanes
+    # ONCE after the value loop: reducing inside the loop costs a
+    # 64->1 sublane reduction per code value (32 reductions/slot for
+    # packed nibbles) and measured as the dominant per-slot cost at
+    # 207M (~5-8 us/slot; the select-accumulate itself is ~16 cycles
+    # per [64, 256] op).
     if packed:
         lo = codes & 0xF
         hi = codes >> 4
 
         def body(c, acc):
-            lut_lo = lut_ref[0, c, 0]               # [MB, 1]
-            lut_hi = lut_ref[0, c, 1]
-            acc += jnp.sum((lo == c).astype(jnp.float32) * lut_lo,
-                           axis=0, keepdims=True)
-            acc += jnp.sum((hi == c).astype(jnp.float32) * lut_hi,
-                           axis=0, keepdims=True)
+            acc += jnp.where(lo == c, lut_ref[0, c, 0], 0.0)  # [MB, SEG]
+            acc += jnp.where(hi == c, lut_ref[0, c, 1], 0.0)
             return acc
     else:
         def body(c, acc):
-            lutc = lut_ref[0, c]                    # [MB, 1]
-            return acc + jnp.sum((codes == c).astype(jnp.float32) * lutc,
-                                 axis=0, keepdims=True)
+            return acc + jnp.where(codes == c, lut_ref[0, c], 0.0)
 
-    acc = lax.fori_loop(0, ksub, body, jnp.zeros((1, seg), jnp.float32))
-    out_ref[0, 0, :] = acc[0]
+    acc = lax.fori_loop(0, ksub, body, jnp.zeros((mb, seg), jnp.float32))
+    out_ref[0, 0, :] = jnp.sum(acc, axis=0)
 
 
 def _adc_kernel_packed4(seg_ids, q_ids, codes_ref, lut_ref, out_ref, *,
@@ -346,23 +347,25 @@ def _adc_topk_kernel_t(seg_ids, q_ids, valid_cnt, codes_ref, lut_ref,
     del seg_ids, q_ids
     i = pl.program_id(0)
     codes = codes_ref[0].astype(jnp.int32)          # [MB, SEG]
+    mb = codes.shape[0]
 
+    # deferred sublane reduction (see _adc_kernel_t): accumulate in
+    # [MB, SEG], reduce 64->1 once after the value loop instead of per
+    # code value
     if packed:
         lo = codes & 0xF
         hi = codes >> 4
 
         def body(c, acc):
-            acc += jnp.sum((lo == c).astype(jnp.float32) * lut_ref[0, c, 0],
-                           axis=0, keepdims=True)
-            acc += jnp.sum((hi == c).astype(jnp.float32) * lut_ref[0, c, 1],
-                           axis=0, keepdims=True)
+            acc += jnp.where(lo == c, lut_ref[0, c, 0], 0.0)  # [MB, SEG]
+            acc += jnp.where(hi == c, lut_ref[0, c, 1], 0.0)
             return acc
     else:
         def body(c, acc):
-            return acc + jnp.sum((codes == c).astype(jnp.float32)
-                                 * lut_ref[0, c], axis=0, keepdims=True)
+            return acc + jnp.where(codes == c, lut_ref[0, c], 0.0)
 
-    row = lax.fori_loop(0, ksub, body, jnp.zeros((1, seg), jnp.float32))
+    acc = lax.fori_loop(0, ksub, body, jnp.zeros((mb, seg), jnp.float32))
+    row = jnp.sum(acc, axis=0, keepdims=True)
     cols = lax.broadcasted_iota(jnp.int32, (1, seg), 1)
     row = jnp.where(cols < valid_cnt[i], row, -jnp.inf)
 

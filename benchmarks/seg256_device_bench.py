@@ -1,0 +1,105 @@
+"""207M fully device-resident serve: seg-256 repack of the production
+artifact + pos_map="host".
+
+Round-3 follow-on to `prod_driver_bench.py`: at seg 512 the packed
+codes are 13.52 GiB (9.6% tail padding) + 0.85 GiB row ids — over the
+13 GiB/chip install ceiling, forcing storage="hybrid" whose cold-tail
+uploads (~3-5 MB/batch through the ~22 MiB/s tunnel) dominated batch
+latency at the tuned nprobe=2 (292 ms/batch -> 875 QPS/chip).
+
+With row ids resolved host-side (pos_map="host") and the artifact
+resegmented to 256 (`resegment_lists`: pure sub-block slicing, sheds
+the tail padding), the codes drop to ~12.9 GiB and the WHOLE index is
+HBM-resident: the steady-state batch is probe dispatch + scan dispatch
++ one sync — no per-batch list bytes cross the tunnel at all.
+
+Usage:
+    python benchmarks/seg256_device_bench.py \
+        --src /tmp/astpu_prod207m/index --dst /tmp/astpu_seg256
+"""
+
+import argparse
+import json
+import shutil
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/tmp/astpu_prod207m/index")
+    ap.add_argument("--dst", default="/tmp/astpu_seg256")
+    ap.add_argument("--seg", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--k", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--nprobes", default="1,2,4,8")
+    args = ap.parse_args()
+
+    src = Path(args.src)
+    dst = Path(args.dst)
+    src_index = src / "index"
+
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+    from abstracts_search_tpu.index.lists import resegment_lists
+
+    # -- 1. repack (disk-bound, idempotent) --------------------------------
+    dst_index = dst / "index"
+    if not (dst_index / "lists" / "lists_meta.json").exists():
+        t0 = time.time()
+        dst_index.mkdir(parents=True, exist_ok=True)
+        for f in ("centroids.npy", "pq_centroids.npy", "rotation.npy"):
+            if not (dst_index / f).exists():
+                shutil.copy(src_index / f, dst_index / f)
+        meta = json.loads((src_index / "meta.json").read_text())
+        meta["seg_size"] = args.seg
+        (dst_index / "meta.json").write_text(json.dumps(meta, indent=2))
+        resegment_lists(src_index / "lists", dst_index / "lists", args.seg)
+        print(f"[seg256] repack: {time.time() - t0:.0f} s", flush=True)
+    else:
+        print("[seg256] repack: reusing existing artifact", flush=True)
+    lm = json.loads((dst_index / "lists" / "lists_meta.json").read_text())
+    codes_gib = lm["n_segs"] * 64 * args.seg / (1 << 30)
+    print(f"[seg256] n_segs={lm['n_segs']:,} codes={codes_gib:.2f} GiB",
+          flush=True)
+
+    # -- 2. install fully device-resident ----------------------------------
+    t0 = time.time()
+    idx = IVFPQIndex.load(dst_index, storage="device")
+    print(f"[seg256] device install: {time.time() - t0:.0f} s "
+          f"(pos_host={idx._pos_host})", flush=True)
+
+    # -- 3. recall + QPS vs the cached exact oracle -------------------------
+    z = np.load(src / "tune_oracle.npz", allow_pickle=False)
+    queries = np.asarray(z["queries"], np.float32)[: args.batch]
+    ref = np.asarray(z["ref"], np.int64)[: args.batch]
+
+    out = []
+    for nprobe in [int(s) for s in args.nprobes.split(",")]:
+        v, p = idx.search(queries, args.k, nprobe=nprobe)  # compile + warm
+        idx.search(queries, args.k, nprobe=nprobe)         # spec steady
+        t0 = time.time()
+        for _ in range(args.reps):
+            v, p = idx.search(queries, args.k, nprobe=nprobe)
+        dt = (time.time() - t0) / args.reps
+        rec = np.mean([len(set(p[i]) & set(ref[i])) / args.k
+                       for i in range(len(ref))])
+        row = {"nprobe": nprobe, "recall": round(float(rec), 4),
+               "qps": round(args.batch / dt, 1),
+               "ms_per_batch": round(dt * 1e3, 2),
+               "stats": dict(idx.last_scan_stats)}
+        print(f"[seg256] {row}", flush=True)
+        out.append(row)
+
+    (dst / "seg256_report.json").write_text(json.dumps(out, indent=2))
+    print("[seg256] RESULT " + json.dumps(out), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -162,3 +162,33 @@ def test_pos_map_host_matches_device_all_storages(tmp_path, rng):
         va, pa = a.search(q, 6, nprobe=4)
         vb, pb = b.search(q, 6, nprobe=4)
         np.testing.assert_array_equal(pa, pb)
+
+
+def test_auto_storage_resolution(tmp_path, rng, monkeypatch):
+    """storage="auto" resolves at install: device when the artifact
+    fits the per-chip ceiling, hybrid (with the hot budget set to the
+    ceiling minus centroid residency) when it does not."""
+    import abstracts_search_tpu.index.ivfpq as ivfpq_mod
+
+    n, d = 1500, 32
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    built = _build(rng, "device", x)
+    built.save(tmp_path / "art")
+
+    # off-TPU: auto is always device
+    a = IVFPQIndex.load(tmp_path / "art", mesh=build_mesh(), chunk=128,
+                        storage="auto")
+    assert a.storage == "device"
+
+    # pretend-TPU with a tiny ceiling: auto degrades to hybrid
+    monkeypatch.setattr(ivfpq_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(IVFPQIndex, "DEVICE_INSTALL_LIMIT_BYTES", 0)
+    b = IVFPQIndex.load(tmp_path / "art", mesh=build_mesh(), chunk=128,
+                        storage="auto", scan_impl="map", impl="xla")
+    assert b.storage == "hybrid"
+    assert b.hot_budget_bytes >= 1 << 30  # floor kicks in
+
+    import pytest
+    with pytest.raises(ValueError):
+        IVFPQIndex(4, 16, storage="bogus")
