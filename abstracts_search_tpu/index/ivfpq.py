@@ -929,29 +929,31 @@ class IVFPQIndex:
 
     # -- search: phase 1 (probe) ---------------------------------------------------
 
-    def _build_probe(self, qn: int, nprobe: int):
-        """jit: queries -> (probes [Q,P] i32, bias [Q,P] f32, LUTs
-        [Q,M,ksub] f32). Probe SELECTION runs in bf16 (VMEM/bandwidth);
-        the exact f32 q . c_list bias is recomputed for just the chosen
-        lists — it feeds the ADC scores, so it must not carry bf16
-        rounding."""
+    def _probe_math(self, q, rot, c, pqc, qn: int, nprobe: int):
+        """Traced probe computation: queries -> (probes [Q,P] i32, bias
+        [Q,P] f32, LUTs [Q,M,ksub] f32). Probe SELECTION runs in bf16
+        (VMEM/bandwidth); the exact f32 q . c_list bias is recomputed
+        for just the chosen lists — it feeds the ADC scores, so it must
+        not carry bf16 rounding."""
         chunk, impl, K = self.chunk, self.impl, self.n_lists
-        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
+        m_pq, dsub = self.pq.m, self.pq.dsub
+        qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+        _, probes = streaming_topk(
+            qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
+            jnp.int32(K), nprobe, chunk=chunk, impl=impl,
+        )
+        c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
+        bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
+                          preferred_element_type=jnp.float32)
+        luts = jnp.einsum(
+            "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
+            preferred_element_type=jnp.float32,
+        )
+        return probes, bias, luts
 
+    def _build_probe(self, qn: int, nprobe: int):
         def probe(q, rot, c, pqc):
-            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
-            _, probes = streaming_topk(
-                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
-                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
-            )
-            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
-            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
-                              preferred_element_type=jnp.float32)
-            luts = jnp.einsum(
-                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
-                preferred_element_type=jnp.float32,
-            )
-            return probes, bias, luts
+            return self._probe_math(q, rot, c, pqc, qn, nprobe)
 
         return jax.jit(probe)
 
@@ -963,23 +965,10 @@ class IVFPQIndex:
         come back STACKED as one [2*ndev] array so the cold (no
         speculative shape yet) path pays a single device->host sync,
         not two — each sync is a full tunnel/PCIe round trip."""
-        chunk, impl, K = self.chunk, self.impl, self.n_lists
-        m_pq, ksub, dsub = self.pq.m, self.pq.ksub, self.pq.dsub
 
         def local(q, rot, c, pqc, seg_cnt):
             seg_cnt = seg_cnt[0]
-            qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
-            _, probes = streaming_topk(
-                qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
-                jnp.int32(K), nprobe, chunk=chunk, impl=impl,
-            )
-            c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
-            bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
-                              preferred_element_type=jnp.float32)
-            luts = jnp.einsum(
-                "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
-                preferred_element_type=jnp.float32,
-            )
+            probes, bias, luts = self._probe_math(q, rot, c, pqc, qn, nprobe)
             cnt = jnp.take(seg_cnt, probes.reshape(-1))
             percnt = jnp.sum(cnt.reshape(qn, nprobe), axis=1)
             stats = jnp.stack([jnp.sum(cnt), jnp.max(percnt)]).astype(jnp.int32)
@@ -1137,6 +1126,42 @@ class IVFPQIndex:
         otherwise the caller re-scans at the right shape (rare: only
         when a batch needs more slots than any recent one). Steady-state
         search = probe dispatch + scan dispatch + ONE host sync."""
+        local = self._make_scan_local(qn, k, nprobe, bucket, maxcnt)
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P())
+            + (P(SHARD_AXIS),) * (4 if self._pos_host else 5),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _build_fused_scan(self, qn: int, k: int, nprobe: int,
+                          bucket: int, maxcnt: int):
+        """Steady-state fast path: probe + scan in ONE program, so a
+        spec-hit search is a single dispatch + a single sync (the
+        separate probe dispatch is a full tunnel/PCIe RPC per batch).
+        Only valid when no host-side consumer needs the probe result —
+        i.e. device storage, or hybrid with an empty cold set. The
+        probe math is recomputed per device (replicated), trading a
+        ~0.5 ms redundant matmul for the RPC."""
+        scan_local = self._make_scan_local(qn, k, nprobe, bucket, maxcnt)
+
+        def local(q, rot, c, pqc, *dev):
+            probes, bias, luts = self._probe_math(q, rot, c, pqc, qn, nprobe)
+            return scan_local(probes, bias, luts, *dev)
+
+        fn = shard_map(
+            local, mesh=self.mesh,
+            in_specs=(P(), P(), P(), P())
+            + (P(SHARD_AXIS),) * (4 if self._pos_host else 5),
+            out_specs=P(),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _make_scan_local(self, qn: int, k: int, nprobe: int,
+                         bucket: int, maxcnt: int):
         seg = self.seg_size
         body = self._scan_body(qn, k, nprobe, self._adc_fn())
         pos_host = self._pos_host
@@ -1191,13 +1216,7 @@ class IVFPQIndex:
                 stats.reshape(-1),
             ])
 
-        fn = shard_map(
-            local, mesh=self.mesh,
-            in_specs=(P(), P(), P()) + (P(SHARD_AXIS),) * (4 if pos_host else 5),
-            out_specs=P(),
-            check_vma=False,
-        )
-        return jax.jit(fn)
+        return local
 
     def _build_rank_host(self, qn: int, k: int, nprobe: int, bucket: int, maxcnt: int):
         """Host mode: tiles were gathered host-side in slot order, so
@@ -1230,6 +1249,10 @@ class IVFPQIndex:
     # compile. Oversized batches split in half recursively; per-query
     # results are independent so the merge is a concat.
     SEARCH_QP_MAX = 12288
+    # per-dispatch slot-bucket ceiling (same SMEM budget, measured as
+    # slots rather than queries x probes: segment size halves double
+    # the slots per probed list). 80k slots x 12 B = 0.96 MB.
+    SCAN_BUCKET_MAX = 80_000
 
     def search(self, queries: np.ndarray, k: int, *, nprobe: int = 8):
         if self.packed is None:
@@ -1273,20 +1296,45 @@ class IVFPQIndex:
         # probe with no host sync, and validated from the stats the
         # scan itself reports; a miss (this batch needs more slots than
         # any recent one) re-scans at the right shape.
-        probe_fn = self._cached_fn(
-            ("probe_csr", qn, nprobe), lambda: self._build_probe_csr(qn, nprobe)
+        key_spec = self._spec_shapes.get((qn, nprobe))
+        qdev = jnp.asarray(q)
+        # steady-state fast path: when no host-side consumer needs the
+        # probe result (device storage, or hybrid whose hot budget
+        # swallowed everything) and a speculative shape exists, probe +
+        # scan run as ONE fused program — one dispatch RPC instead of
+        # two per batch (each is a full tunnel/PCIe round trip)
+        fused = key_spec is not None and (
+            self.storage == "device"
+            or (self.storage == "hybrid"
+                and not getattr(self, "_has_cold", True))
         )
-        probes, bias, luts, pstats = probe_fn(
-            jnp.asarray(q), self._rot_dev, self._centroids_dev,
-            self._pq_cent_dev, self._csr_dev[1],
-        )
+        if fused:
+            probes = pstats = None
 
-        def dispatch(bucket, maxcnt):
-            scan_fn = self._cached_fn(
-                ("scan", qn, k, nprobe, bucket, maxcnt),
-                lambda: self._build_scan(qn, k, nprobe, bucket, maxcnt),
+            def dispatch(bucket, maxcnt):
+                fn = self._cached_fn(
+                    ("fscan", qn, k, nprobe, bucket, maxcnt),
+                    lambda: self._build_fused_scan(qn, k, nprobe, bucket, maxcnt),
+                )
+                return fn(qdev, self._rot_dev, self._centroids_dev,
+                          self._pq_cent_dev, *self._dev_arrays, *self._csr_dev)
+        else:
+            probe_fn = self._cached_fn(
+                ("probe_csr", qn, nprobe),
+                lambda: self._build_probe_csr(qn, nprobe),
             )
-            return scan_fn(probes, bias, luts, *self._dev_arrays, *self._csr_dev)
+            probes, bias, luts, pstats = probe_fn(
+                qdev, self._rot_dev, self._centroids_dev,
+                self._pq_cent_dev, self._csr_dev[1],
+            )
+
+            def dispatch(bucket, maxcnt):
+                scan_fn = self._cached_fn(
+                    ("scan", qn, k, nprobe, bucket, maxcnt),
+                    lambda: self._build_scan(qn, k, nprobe, bucket, maxcnt),
+                )
+                return scan_fn(probes, bias, luts,
+                               *self._dev_arrays, *self._csr_dev)
 
         qk = qn * k
 
@@ -1300,7 +1348,7 @@ class IVFPQIndex:
             return v, pos, stats                 # stats: [ndev, (total, maxq)]
 
         key = (qn, nprobe)
-        spec = self._spec_shapes.get(key)
+        spec = key_spec
         if spec is not None:
             pending = dispatch(*spec)   # speculative hot scan, NOT synced
         else:
@@ -1336,6 +1384,15 @@ class IVFPQIndex:
             hit = None
         need_b = bucket_size(int(stats_h[:, 0].max()))
         need_m = _next_pow2(int(stats_h[:, 1].max()), lo=1)
+        if not hit and need_b > self.SCAN_BUCKET_MAX and qn > 1:
+            # the slot arrays ride the kernel's SMEM scalar-prefetch
+            # space (~12 B/slot, 1 MB on v5e): a batch whose probed
+            # lists need more slots than fit splits like the QP cap —
+            # per-query results are independent, so concat merges
+            half = (qn + 1) // 2
+            va, pa = self.search(q[:half], k, nprobe=nprobe)
+            vb, pb = self.search(q[half:], k, nprobe=nprobe)
+            return np.concatenate([va, vb]), np.concatenate([pa, pb])
         if hit:
             bucket, maxcnt = spec
         else:
@@ -1367,6 +1424,7 @@ class IVFPQIndex:
             "live_slots": int(stats_h[:, 0].sum()),
             "maxcnt": int(maxcnt),
             "spec": "cold" if hit is None else ("hit" if hit else "miss"),
+            "fused": fused,
         }
         if self.storage == "hybrid":
             self.last_scan_stats["cold_live_slots"] = cold_live

@@ -96,6 +96,31 @@ def main() -> int:
         print(f"[seg256] {row}", flush=True)
         out.append(row)
 
+    # throughput mode: bigger batches amortize the per-batch dispatch +
+    # sync round trips (the queries tile the 256 oracle rows, so recall
+    # stays measurable)
+    for bigb in (1024, 4096):
+        for nprobe in (2, 4):
+            if bigb * nprobe > 12288:
+                continue
+            reps = max(2, args.reps // 4)
+            qbig = np.tile(queries, (bigb // len(queries), 1))
+            idx.search(qbig, args.k, nprobe=nprobe)
+            idx.search(qbig, args.k, nprobe=nprobe)
+            t0 = time.time()
+            for _ in range(reps):
+                v, p = idx.search(qbig, args.k, nprobe=nprobe)
+            dt = (time.time() - t0) / reps
+            rec = np.mean([len(set(p[i]) & set(ref[i % len(ref)])) / args.k
+                           for i in range(len(p))])
+            row = {"nprobe": nprobe, "batch": bigb,
+                   "recall": round(float(rec), 4),
+                   "qps": round(bigb / dt, 1),
+                   "ms_per_batch": round(dt * 1e3, 2),
+                   "stats": dict(idx.last_scan_stats)}
+            print(f"[seg256] {row}", flush=True)
+            out.append(row)
+
     (dst / "seg256_report.json").write_text(json.dumps(out, indent=2))
     print("[seg256] RESULT " + json.dumps(out), flush=True)
     return 0

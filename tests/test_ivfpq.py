@@ -263,3 +263,32 @@ def test_search_query_split_matches_unsplit(rng, monkeypatch):
     v_sp, p_sp = idx.search(q, 5, nprobe=8)
     np.testing.assert_array_equal(p_ref, p_sp)
     np.testing.assert_allclose(v_ref, v_sp, rtol=1e-5, atol=1e-5)
+
+
+def test_fused_steady_state_matches_two_step(rng):
+    """Steady-state searches fuse probe+scan into one dispatch (one
+    RPC instead of two per batch); results must equal the two-step
+    path exactly, and a shape-busting batch must still fall back
+    through the miss path correctly."""
+    n, d = 4000, 32
+    x = _normed(rng, n, d)
+    q = _queries_near(rng, x, 16)
+    idx = IVFPQIndex(16, d, pq_m=8, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0)
+    idx.train(x[:2000], kmeans_iters=5, pq_iters=5)
+    idx.fill(x)
+
+    v1, p1 = idx.search(q, 6, nprobe=4)       # cold: two-step, sets spec
+    assert idx.last_scan_stats["fused"] is False
+    v2, p2 = idx.search(q, 6, nprobe=4)       # steady: fused
+    assert idx.last_scan_stats["fused"] is True
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-7)
+
+    # force a spec miss inside the fused path: shrink the remembered
+    # shape so the speculative dispatch under-allocates
+    key = (len(q), 4)
+    idx._spec_shapes[key] = (8, 1)
+    v3, p3 = idx.search(q, 6, nprobe=4)
+    assert idx.last_scan_stats["spec"] == "miss"
+    np.testing.assert_array_equal(p1, p3)
