@@ -868,6 +868,10 @@ class IVFPQIndex:
     # memmap — the analog of the reference's ondisk.ivfdata capacity
     # mode (/root/reference/Makefile:11, README.md:33).
     DEVICE_INSTALL_LIMIT_BYTES = 13 << 30
+    # pos_map="host" flat row indices ride the scan's int32 fused
+    # transfer; artifacts whose padded row space exceeds this fall back
+    # to device-resident row ids
+    POS_HOST_MAX_FLAT = (1 << 31) - 1
 
     def _install_device(self, packed: CSRLists, hot_mask) -> None:
         if hot_mask is None and jax.default_backend() == "tpu":
@@ -895,7 +899,7 @@ class IVFPQIndex:
             )
         shards = shard_lists(view, self.ndev, with_row_ids=not self._pos_host)
         if (self._pos_host and self.ndev * int(shards.data.shape[1])
-                * packed.seg_size > (1 << 31) - 1):
+                * packed.seg_size > self.POS_HOST_MAX_FLAT):
             # flat row indices ride the scan's int32 fused transfer;
             # beyond ~2.1B padded rows fall back to device-side mapping
             logger.warning("pos_map='host' disabled: padded row space "

@@ -192,3 +192,23 @@ def test_auto_storage_resolution(tmp_path, rng, monkeypatch):
     import pytest
     with pytest.raises(ValueError):
         IVFPQIndex(4, 16, storage="bogus")
+
+
+def test_pos_map_int32_overflow_falls_back_to_device(tmp_path, rng, monkeypatch):
+    """When the padded flat-row space exceeds the int32 fused-transfer
+    budget, pos_map="host" silently falls back to device-resident row
+    ids — results unchanged."""
+    n, d = 1200, 16
+    x = rng.standard_normal((n, d)).astype(np.float32)
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    built = _build(rng, "device", x)
+    built.save(tmp_path / "art")
+    ref_v, ref_p = built.search(x[:5], 6, nprobe=4)
+
+    monkeypatch.setattr(IVFPQIndex, "POS_HOST_MAX_FLAT", 0)
+    idx = IVFPQIndex.load(tmp_path / "art", mesh=build_mesh(), chunk=128,
+                          pos_map="host")
+    assert not idx._pos_host          # fell back
+    v, p = idx.search(x[:5], 6, nprobe=4)
+    np.testing.assert_array_equal(p, ref_p)
+    np.testing.assert_allclose(v, ref_v, rtol=1e-6, atol=1e-7)
