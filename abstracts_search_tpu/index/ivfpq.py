@@ -872,6 +872,9 @@ class IVFPQIndex:
     # transfer; artifacts whose padded row space exceeds this fall back
     # to device-resident row ids
     POS_HOST_MAX_FLAT = (1 << 31) - 1
+    # per-query merge width at which k rounds of max/argmax/mask
+    # replace the sort-based lax.top_k (k <= 16 only)
+    MERGE_ROUNDS_MIN_WIDTH = 2048
 
     def _install_device(self, packed: CSRLists, hot_mask) -> None:
         if hot_mask is None and jax.default_backend() == "tpu":
@@ -1104,7 +1107,20 @@ class IVFPQIndex:
                 qv = jnp.pad(qv, ((0, 0), (0, k - qv.shape[1])),
                              constant_values=NEG_INF)
                 qr_ = jnp.pad(qr_, ((0, 0), (0, k - qr_.shape[1])))
-            v, idx = lax.top_k(qv, k)
+            if k <= 16 and qv.shape[1] >= self.MERGE_ROUNDS_MIN_WIDTH:
+                # wide merges (large maxcnt): k rounds of row-wise
+                # max/argmax/mask beat the sort-based lax.top_k —
+                # ties break identically (first/lowest index wins)
+                cols2 = lax.broadcasted_iota(jnp.int32, qv.shape, 1)
+                vs, ids = [], []
+                for _ in range(k):
+                    am = jnp.argmax(qv, axis=1)
+                    vs.append(jnp.max(qv, axis=1))
+                    ids.append(am.astype(jnp.int32))
+                    qv = jnp.where(cols2 == am[:, None], NEG_INF, qv)
+                v, idx = jnp.stack(vs, axis=1), jnp.stack(ids, axis=1)
+            else:
+                v, idx = lax.top_k(qv, k)
             rows = jnp.take_along_axis(qr_, idx, axis=1)
             if row_ids is None:
                 pos = rows + row_base

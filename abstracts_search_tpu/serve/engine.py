@@ -87,6 +87,11 @@ class SearchEngine:
         t0 = time.perf_counter()
         try:
             q = self.embedder.queries(["warmup"])
+            # twice: the first search runs the two-step (probe+scan)
+            # cold path and records the speculative shape; the second
+            # compiles the fused single-dispatch program that real
+            # steady-state traffic rides
+            self.index.search(q, k, nprobe=self.nprobe)
             self.index.search(q, k, nprobe=self.nprobe)
             logger.info("warmup: compiled in %.1fs", time.perf_counter() - t0)
         except Exception:  # noqa: BLE001 — warmup must never kill startup

@@ -292,3 +292,32 @@ def test_fused_steady_state_matches_two_step(rng):
     v3, p3 = idx.search(q, 6, nprobe=4)
     assert idx.last_scan_stats["spec"] == "miss"
     np.testing.assert_array_equal(p1, p3)
+
+
+def test_wide_merge_rounds_match_topk(rng, monkeypatch):
+    """Wide per-query merges (maxcnt*kp >= MERGE_ROUNDS_MIN_WIDTH) use
+    k rounds of max/argmax/mask instead of sort-based lax.top_k; both
+    must agree exactly (ties break lowest-index-first in both)."""
+    n, d = 6000, 32
+    x = _normed(rng, n, d)
+    q = _queries_near(rng, x, 8)
+    # 4 lists, probe all, seg 32, ONE-device mesh (maxcnt is per
+    # device) -> ~190 slots/query -> maxcnt 256, width 256*8 = 2048:
+    # crosses the rounds threshold
+    import jax
+
+    idx = IVFPQIndex(4, d, pq_m=8, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(jax.devices()[:1]), seg_size=32,
+                     chunk=128, seed=0)
+    idx.train(x[:2000], kmeans_iters=4, pq_iters=4)
+    idx.fill(x)
+
+    v1, p1 = idx.search(q, 8, nprobe=4)
+    st = idx.last_scan_stats
+    assert st["maxcnt"] * 8 >= IVFPQIndex.MERGE_ROUNDS_MIN_WIDTH, st
+
+    monkeypatch.setattr(IVFPQIndex, "MERGE_ROUNDS_MIN_WIDTH", 1 << 30)
+    idx._search_cache.clear()
+    v2, p2 = idx.search(q, 8, nprobe=4)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-7)
