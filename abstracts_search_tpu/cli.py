@@ -10,6 +10,7 @@ Makefile:25,32,39,48,65,71,100,104-105):
   astpu index -B <dir> train [-N] [-c N] [--pq-m M] [--pq-nbits B] [--no-opq] <data>
   astpu index -B <dir> tune [--k K] [--target-recall R] <data>
   astpu index -B <dir> fill <data>
+  astpu index -B <dir> resegment --seg-size N   # repack filled lists, no re-encode
   astpu index --source <data> clean [-B <dir>]
   astpu all | sync | recover | clean            # driver targets (Makefile parity)
   astpu search "query text" [-k N]              # one-shot search
@@ -127,6 +128,30 @@ def cmd_index(args, cfg):
     elif args.index_cmd == "fill":
         d.target_fill(force=args.force)
         print(f"filled index in {d.filled_dir} + {d.ids_path}")
+    elif args.index_cmd == "resegment":
+        # rewrite the FILLED artifact at a smaller segment size without
+        # re-encoding (sheds per-list tail padding — what makes a 207M
+        # PQ128x4 artifact fit one chip's HBM; benchmarks/RESULTS.md)
+        import json as _json
+        import shutil
+
+        from .index.lists import resegment_lists
+
+        src = d.filled_dir
+        meta_path = src / "meta.json"
+        meta = _json.loads(meta_path.read_text())
+        if meta["seg_size"] == args.seg_size:
+            print(f"already at seg_size={args.seg_size}")
+            return
+        tmp = src / "lists.tmp"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        resegment_lists(src / "lists", tmp, args.seg_size)
+        shutil.rmtree(src / "lists")
+        tmp.rename(src / "lists")
+        meta["seg_size"] = args.seg_size
+        meta_path.write_text(_json.dumps(meta, indent=2))
+        print(f"resegmented {src} to seg_size={args.seg_size}")
     elif args.index_cmd == "clean":
         import shutil
 
@@ -307,10 +332,13 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("-B", "--build-dir", help="index artifact directory")
     sp.add_argument("--source", dest="data", help="data dir (clean)")
     isub = sp.add_subparsers(dest="index_cmd", required=True)
-    for name in ("train", "tune", "fill", "clean"):
+    for name in ("train", "tune", "fill", "clean", "resegment"):
         ip = isub.add_parser(name)
-        if name != "clean":
+        if name not in ("clean", "resegment"):
             ip.add_argument("data", nargs="?")
+        if name == "resegment":
+            ip.add_argument("--seg-size", type=int, required=True)
+            ip.set_defaults(data=None)
         ip.add_argument("--force", action="store_true")
         ip.add_argument("--embedder", default="hash")
         if name == "train":

@@ -148,6 +148,14 @@ class IVFPQIndex:
         # canonical artifact). "auto" = host in single-process runs.
         if pos_map not in ("auto", "host", "device"):
             raise ValueError(f"pos_map={pos_map!r}")
+        if pos_map == "host" and jax.process_count() > 1:
+            # each controller holds only its own slice of the build;
+            # host-side resolution needs the FULL canonical row_ids
+            raise ValueError(
+                "pos_map='host' requires a single-controller runtime "
+                "(multi-controller holds per-host partial artifacts); "
+                "use pos_map='auto' or 'device'"
+            )
         self._pos_host = (pos_map == "host" or
                           (pos_map == "auto" and jax.process_count() == 1))
         self.seed = seed

@@ -46,3 +46,36 @@ def test_cli_index_train_tune_fill_clean(data_dir):
 
     assert main(["index", "-B", "idx", "--source", "data", "clean"]) == 0
     assert not (data_dir / "idx").exists()
+
+
+def test_cli_index_resegment(data_dir):
+    """`index resegment --seg-size N` rewrites the filled artifact at a
+    smaller segment size in place; search results are unchanged."""
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+    from abstracts_search_tpu.parallel import build_mesh
+
+    assert main(["index", "-B", "idx", "train", "-N", "-c", "4",
+                 "--pq-m", "4", "--pq-nbits", "4", "--iters", "4", "data"]) == 0
+    assert main(["index", "-B", "idx", "fill", "data"]) == 0
+
+    filled = data_dir / "idx" / "index"
+    idx = IVFPQIndex.load(filled, mesh=build_mesh())
+    rng = np.random.default_rng(1)
+    q = rng.standard_normal((5, 16)).astype(np.float32)
+    v1, p1 = idx.search(q, 5, nprobe=4)
+    old_seg = idx.seg_size
+
+    assert main(["index", "-B", "idx", "resegment",
+                 "--seg-size", str(old_seg // 2)]) == 0
+    meta = json.loads((filled / "meta.json").read_text())
+    assert meta["seg_size"] == old_seg // 2
+
+    idx2 = IVFPQIndex.load(filled, mesh=build_mesh())
+    assert idx2.seg_size == old_seg // 2
+    v2, p2 = idx2.search(q, 5, nprobe=4)
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-6)
+
+    # idempotent second call
+    assert main(["index", "-B", "idx", "resegment",
+                 "--seg-size", str(old_seg // 2)]) == 0
