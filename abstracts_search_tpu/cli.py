@@ -139,18 +139,35 @@ def cmd_index(args, cfg):
 
         src = d.filled_dir
         meta_path = src / "meta.json"
+        lists_dir, old_dir, tmp = (src / "lists", src / "lists.old",
+                                   src / "lists.tmp")
+        # recover from a crash mid-swap: the backup is authoritative
+        # until meta matches the new layout (IVFPQIndex.load refuses
+        # mismatched meta/lists seg sizes, so a half-swap is loud)
+        if old_dir.exists() and not lists_dir.exists():
+            old_dir.rename(lists_dir)
+            print("recovered lists/ from interrupted resegment backup")
         meta = _json.loads(meta_path.read_text())
-        if meta["seg_size"] == args.seg_size:
+        lists_seg = _json.loads(
+            (lists_dir / "lists_meta.json").read_text())["seg_size"]
+        if lists_seg == args.seg_size:
+            # lists already rewritten; finish the interrupted swap
+            if meta["seg_size"] != args.seg_size:
+                meta["seg_size"] = args.seg_size
+                meta_path.write_text(_json.dumps(meta, indent=2))
+            if old_dir.exists():
+                shutil.rmtree(old_dir)
             print(f"already at seg_size={args.seg_size}")
             return
-        tmp = src / "lists.tmp"
-        if tmp.exists():
-            shutil.rmtree(tmp)
-        resegment_lists(src / "lists", tmp, args.seg_size)
-        shutil.rmtree(src / "lists")
-        tmp.rename(src / "lists")
+        for p in (tmp, old_dir):
+            if p.exists():
+                shutil.rmtree(p)
+        resegment_lists(lists_dir, tmp, args.seg_size)
+        lists_dir.rename(old_dir)          # keep the source until done
+        tmp.rename(lists_dir)
         meta["seg_size"] = args.seg_size
         meta_path.write_text(_json.dumps(meta, indent=2))
+        shutil.rmtree(old_dir)             # drop the backup last
         print(f"resegmented {src} to seg_size={args.seg_size}")
     elif args.index_cmd == "clean":
         import shutil

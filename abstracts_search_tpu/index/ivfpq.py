@@ -818,9 +818,32 @@ class IVFPQIndex:
         )
         return "hybrid"
 
+    def _padded_rowspace(self, packed: CSRLists) -> int:
+        """Exact padded flat-row count the device shards will span
+        (same arithmetic as shard_lists, without materializing it)."""
+        cnts = packed.seg_cnt.astype(np.int64)
+        per = [int(cnts[np.arange(d, packed.n_lists, self.ndev)].sum())
+               for d in range(self.ndev)]
+        return self.ndev * max(max(per, default=0), 1) * packed.seg_size
+
     def _install(self, packed: CSRLists) -> None:
+        if packed.seg_size != self.seg_size:
+            # meta.json (index) and lists_meta.json (payload) disagree —
+            # the row math would silently return wrong corpus positions
+            raise ValueError(
+                f"index meta seg_size={self.seg_size} != packed lists "
+                f"seg_size={packed.seg_size}; the artifact directory is "
+                f"inconsistent (interrupted resegment?)"
+            )
         self.packed = packed
         self.n = packed.n_rows
+        if self._pos_host and self._padded_rowspace(packed) > self.POS_HOST_MAX_FLAT:
+            # flat row indices ride the scan's int32 fused transfer;
+            # decide BEFORE any budget/ceiling math so the row-id bytes
+            # are accounted everywhere downstream
+            logger.warning("pos_map='host' disabled: padded row space "
+                           "exceeds int32; row_ids go to device memory")
+            self._pos_host = False
         if self.storage == "auto":
             self.storage = self._resolve_auto_storage(packed)
         if self.storage == "device":
@@ -911,12 +934,9 @@ class IVFPQIndex:
         shards = shard_lists(view, self.ndev, with_row_ids=not self._pos_host)
         if (self._pos_host and self.ndev * int(shards.data.shape[1])
                 * packed.seg_size > self.POS_HOST_MAX_FLAT):
-            # flat row indices ride the scan's int32 fused transfer;
-            # beyond ~2.1B padded rows fall back to device-side mapping
-            logger.warning("pos_map='host' disabled: padded row space "
-                           "exceeds int32; row_ids go to device memory")
-            self._pos_host = False
-            shards = shard_lists(view, self.ndev, with_row_ids=True)
+            # _install's _padded_rowspace pre-check (which also fixed
+            # the budget math) should have caught this
+            raise AssertionError("pos_map row-space pre-check missed")
         dev_arrays = ((shards.data, shards.seg_valid) if self._pos_host
                       else (shards.data, shards.row_ids, shards.seg_valid))
         self._dev_arrays = tuple(

@@ -571,7 +571,12 @@ def resegment_lists(src: str | Path, dst: str | Path, seg_size: int,
                         shape=(n_new,) + blk)
     rows_mm = np.memmap(d / "row_ids.bin", dtype=np.int32, mode="w+",
                         shape=(n_new, seg_size))
-    rows_mm[:] = -1
+    # only the trailing pad segment (n_new > kept blocks) needs the -1
+    # fill — live sub-blocks are copied whole and partial source
+    # segments already carry -1 in their dead columns. A full-file fill
+    # would double the write I/O of a disk-bound rewrite.
+    if n_new > len(src_idx):
+        rows_mm[len(src_idx):] = -1
     for lo in range(0, len(src_idx), slab):
         hi = min(lo + slab, len(src_idx))
         o_s, off_s = olds[lo:hi], offs[lo:hi]

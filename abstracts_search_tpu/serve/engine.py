@@ -87,12 +87,17 @@ class SearchEngine:
         t0 = time.perf_counter()
         try:
             q = self.embedder.queries(["warmup"])
-            # twice: the first search runs the two-step (probe+scan)
-            # cold path and records the speculative shape; the second
-            # compiles the fused single-dispatch program that real
-            # steady-state traffic rides
+            # first search: the two-step (probe+scan) cold path +
+            # records the speculative shape
             self.index.search(q, k, nprobe=self.nprobe)
-            self.index.search(q, k, nprobe=self.nprobe)
+            # second search compiles the fused single-dispatch program
+            # real steady-state traffic rides — only where that path
+            # can apply (device storage, or hybrid with nothing cold);
+            # host/cold-hybrid engines would just re-run the already-
+            # warm programs and burn a full round trip per startup
+            if (self.index.storage == "device"
+                    or not getattr(self.index, "_has_cold", True)):
+                self.index.search(q, k, nprobe=self.nprobe)
             logger.info("warmup: compiled in %.1fs", time.perf_counter() - t0)
         except Exception:  # noqa: BLE001 — warmup must never kill startup
             logger.exception("warmup failed (serving continues cold)")

@@ -79,3 +79,45 @@ def test_cli_index_resegment(data_dir):
     # idempotent second call
     assert main(["index", "-B", "idx", "resegment",
                  "--seg-size", str(old_seg // 2)]) == 0
+
+
+def test_resegment_crash_recovery_and_mismatch_guard(data_dir):
+    """A mismatched meta/lists seg_size refuses to load (silent wrong
+    positions otherwise); the resegment command recovers both crash
+    windows (backup-only and swapped-but-meta-stale)."""
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+    from abstracts_search_tpu.parallel import build_mesh
+
+    assert main(["index", "-B", "idx", "train", "-N", "-c", "4",
+                 "--pq-m", "4", "--pq-nbits", "4", "--iters", "4", "data"]) == 0
+    assert main(["index", "-B", "idx", "fill", "data"]) == 0
+    filled = data_dir / "idx" / "index"
+    meta_path = filled / "meta.json"
+    meta = json.loads(meta_path.read_text())
+    old_seg = meta["seg_size"]
+
+    # inconsistent artifact directory must be loud
+    meta["seg_size"] = old_seg // 2
+    meta_path.write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="seg_size"):
+        IVFPQIndex.load(filled, mesh=build_mesh())
+    meta["seg_size"] = old_seg
+    meta_path.write_text(json.dumps(meta))
+
+    # crash window 1: lists renamed to backup, nothing else happened
+    (filled / "lists").rename(filled / "lists.old")
+    assert main(["index", "-B", "idx", "resegment",
+                 "--seg-size", str(old_seg // 2)]) == 0
+    assert not (filled / "lists.old").exists()
+    assert json.loads(meta_path.read_text())["seg_size"] == old_seg // 2
+    idx = IVFPQIndex.load(filled, mesh=build_mesh())
+    assert idx.seg_size == old_seg // 2
+
+    # crash window 2: lists swapped but meta not yet updated
+    meta = json.loads(meta_path.read_text())
+    meta["seg_size"] = old_seg
+    meta_path.write_text(json.dumps(meta))
+    assert main(["index", "-B", "idx", "resegment",
+                 "--seg-size", str(old_seg // 2)]) == 0
+    assert json.loads(meta_path.read_text())["seg_size"] == old_seg // 2
+    IVFPQIndex.load(filled, mesh=build_mesh())
