@@ -61,6 +61,9 @@ def cmd_build(args, cfg):
 
     embedder = get_embedder(args.embedder, cfg)
     store = EmbeddingStore(args.db)
+    # one sync revision per build invocation: rows this run upserts are
+    # "new since the last fill" for `fill --incremental`'s watermark
+    store.bump_rev()
     batch_ids, batch_docs, n = [], [], 0
     stream = open(args.input) if args.input else sys.stdin
 
@@ -126,8 +129,12 @@ def cmd_index(args, cfg):
         d.target_tune(force=args.force, k=args.k, target_recall=args.target_recall)
         print(f"params in {d.params_path}")
     elif args.index_cmd == "fill":
-        d.target_fill(force=args.force)
-        print(f"filled index in {d.filled_dir} + {d.ids_path}")
+        d.target_fill(force=args.force, incremental=args.incremental)
+        if d.delta_dirs():
+            print(f"filled index in {d.filled_dir} + {d.ids_path} "
+                  f"(+{len(d.delta_dirs())} delta sub-index(es))")
+        else:
+            print(f"filled index in {d.filled_dir} + {d.ids_path}")
     elif args.index_cmd == "resegment":
         # rewrite the FILLED artifact at a smaller segment size without
         # re-encoding (sheds per-list tail padding — what makes a 207M
@@ -198,7 +205,7 @@ def cmd_sync(args, cfg):
     res = d.target_build()
     print(json.dumps({"ingested_partitions": res}))
     d.target_dump()
-    d.target_fill()
+    d.target_fill(incremental=args.incremental)
     d.target_tune()
 
 
@@ -358,6 +365,12 @@ def make_parser() -> argparse.ArgumentParser:
             ip.set_defaults(data=None)
         ip.add_argument("--force", action="store_true")
         ip.add_argument("--embedder", default="hash")
+        if name == "fill":
+            ip.add_argument("--incremental", action="store_true",
+                            help="index only rows upserted since the last "
+                                 "fill into a delta sub-index")
+        else:
+            ip.set_defaults(incremental=False)
         if name == "train":
             ip.add_argument("-N", "--normalize", action="store_true",
                             help="unit-sphere inner-product mode")
@@ -385,6 +398,9 @@ def make_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("sync", help="full quarterly sync (build->dump->fill->tune)")
     sp.add_argument("--manifest", help="manifest URL override (file:// ok)")
     sp.add_argument("--embedder", default="auto")
+    sp.add_argument("--incremental", action="store_true",
+                    help="fill only rows upserted since the last fill "
+                         "into a delta sub-index (O(delta) sync)")
     sp.set_defaults(fn=cmd_sync)
 
     sp = sub.add_parser("publish", help="validate artifact layouts; print upload commands")

@@ -140,6 +140,9 @@ class Driver:
         state = SyncState(self.events_dir)
         if count == 1:
             store = self._store(create=True)
+            # one revision per sync run: rows this run upserts are
+            # "since the last fill" for the incremental-fill watermark
+            store.bump_rev()
             owner = None
         else:
             p = self.store_path.with_name(self.store_path.name + f".p{pid}")
@@ -165,14 +168,22 @@ class Driver:
         store = self._store(create=True)
         merged = 0
         try:
+            # merged rows are stamped with a fresh MAIN-store revision:
+            # part stores carry their own counters, but for the
+            # incremental-fill watermark what matters is "arrived since
+            # the last fill of THIS store"
+            rev = store.bump_rev()
             for p in parts:
                 store.conn.execute("ATTACH DATABASE ? AS src", (str(p),))
                 cur = store.conn.execute(
-                    "INSERT OR REPLACE INTO works SELECT * FROM src.works")
+                    "INSERT OR REPLACE INTO works (id, embedding, rev) "
+                    "SELECT id, embedding, ? FROM src.works", (rev,))
                 merged += cur.rowcount
-                # meta too (the `dim` key — iter_batches needs it)
+                # meta too (the `dim` key — iter_batches needs it), but
+                # never the part store's own sync_rev counter
                 store.conn.execute(
-                    "INSERT OR REPLACE INTO meta SELECT * FROM src.meta")
+                    "INSERT OR REPLACE INTO meta "
+                    "SELECT * FROM src.meta WHERE key != 'sync_rev'")
                 store.conn.commit()
                 store.conn.execute("DETACH DATABASE src")
         finally:
@@ -282,17 +293,52 @@ class Driver:
         return IVFPQIndex.load(d, mesh=self.mesh, storage=self.cfg.index_storage,
                                hot_budget_bytes=self.cfg.index_hot_bytes)
 
+    def _read_fill_stamp(self) -> dict | None:
+        """Stamp format: {"fingerprint": ..., "watermark": int}; pre-
+        round-3 stamps were the raw fingerprint dict (watermark None —
+        incremental fill unavailable until the next full fill)."""
+        if not self.fill_stamp.exists():
+            return None
+        raw = json.loads(self.fill_stamp.read_text())
+        if isinstance(raw, dict) and "fingerprint" in raw and "watermark" in raw:
+            return raw
+        return {"fingerprint": raw, "watermark": None}
+
+    @property
+    def delta_root(self) -> Path:
+        return self.index_dir / "delta"
+
+    def delta_dirs(self) -> list[Path]:
+        if not self.delta_root.is_dir():
+            return []
+        return sorted(p for p in self.delta_root.iterdir()
+                      if (p / "index" / "meta.json").exists())
+
     def target_fill(self, *, force: bool = False,
-                    kmeans_iters: int = 10) -> bool:
+                    kmeans_iters: int = 10, incremental: bool = False) -> bool:
         self.target_train(kmeans_iters=kmeans_iters)
         fp = self._data_fingerprint()
+        stamp = self._read_fill_stamp()
         if (
-            not force and self.fill_stamp.exists()
-            and json.loads(self.fill_stamp.read_text()) == fp
+            not force and stamp is not None
+            and stamp["fingerprint"] == fp
             and self.filled_dir.is_dir() and self.ids_path.exists()
         ):
             logger.info("fill: up to date")
             return False
+        if (
+            incremental and not force and stamp is not None
+            and stamp["watermark"] is not None
+            and self.filled_dir.is_dir() and self.ids_path.exists()
+            and self.store_path.exists()
+        ):
+            import jax
+
+            if jax.process_count() > 1:
+                logger.warning("incremental fill is single-controller; "
+                               "running a full fill")
+            else:
+                return self._fill_delta(fp, stamp)
 
         self._filled_index = None
         index = self._load_index(filled=False)
@@ -334,13 +380,81 @@ class Driver:
             writer.close()
             ids_tmp.replace(self.ids_path)
             index.save(self.filled_dir)
-            self.fill_stamp.write_text(json.dumps(fp))
+            # a full fill covers everything the store holds right now:
+            # record its revision as the incremental watermark and drop
+            # any delta sub-indexes (they are now folded in)
+            watermark = 0
+            if self.store_path.exists():
+                with self._store() as store:
+                    watermark = store.sync_rev
+            if self.delta_root.is_dir():
+                shutil.rmtree(self.delta_root)
+            self.fill_stamp.write_text(json.dumps(
+                {"fingerprint": fp, "watermark": watermark}))
         process_barrier("driver-fill")
         # fill ends with the packed lists installed on device; keep the
         # instance so a same-process tune/serve skips a from-disk reload
         # + reinstall (12.5 GiB of hot lists re-crossing the link at 207M)
         self._filled_index = index
         logger.info("fill: %d vectors indexed", n_rows)
+        return True
+
+    def _fill_delta(self, fp: dict, stamp: dict) -> bool:
+        """Incremental fill: index only rows upserted since the last
+        fill's watermark into a self-contained delta sub-index
+        (``index_dir/delta/<n>/``: lists + its own ids.parquet). The
+        serving engine searches base + deltas and merges newest-wins,
+        so updated works serve their NEW embeddings while the stale
+        base rows are masked by id. A full fill (``--force`` or the
+        next retrain) compacts everything and drops the deltas.
+
+        The reference re-fills all ~207M rows every quarterly sync
+        (Makefile:23-25 + rm-rf dump); this makes sync cost O(delta).
+        """
+        with self._store() as store:
+            w = int(stamp["watermark"])
+            n_delta = store.count_since(w)
+            if n_delta == 0:
+                self.fill_stamp.write_text(json.dumps(
+                    {"fingerprint": fp, "watermark": w}))
+                logger.info("fill: no rows past watermark %d; stamp refreshed", w)
+                return False
+            new_w = store.sync_rev
+
+            index = self._load_index(filled=False)
+            ordinal = len(self.delta_dirs())
+            ddir = self.delta_root / f"{ordinal:04d}"
+            (ddir / "index").mkdir(parents=True, exist_ok=True)
+            ids_tmp = ddir / "ids.parquet.tmp"
+            writer = _IdsWriter(ids_tmp)
+            n_rows = 0
+
+            def chunks():
+                nonlocal n_rows
+                pos = 0
+                for ids, embs in store.iter_batches(min_rev=w + 1):
+                    writer.write(ids)
+                    positions = np.arange(pos, pos + len(embs), dtype=np.int64)
+                    pos += len(embs)
+                    n_rows = pos
+                    yield embs, positions
+
+            try:
+                index.fill_stream(chunks(), lists_dir=ddir / "index" / "lists")
+            except BaseException:
+                writer.close()
+                shutil.rmtree(ddir, ignore_errors=True)
+                raise
+            writer.close()
+            ids_tmp.replace(ddir / "ids.parquet")
+            index.save(ddir / "index")
+            (ddir / "stamp.json").write_text(json.dumps(
+                {"watermark_from": w, "watermark_to": new_w, "rows": n_rows}))
+            self.fill_stamp.write_text(json.dumps(
+                {"fingerprint": fp, "watermark": new_w}))
+        self._filled_index = None  # engine must reload base + deltas
+        logger.info("fill: delta %s indexed %d rows (watermark %d -> %d)",
+                    ddir.name, n_rows, w, new_w)
         return True
 
     # tune defaults shared by target_tune / the oracle precompute

@@ -23,15 +23,28 @@ logger = logging.getLogger(__name__)
 
 
 class SearchEngine:
+    # extra base results fetched when delta sub-indexes exist, so
+    # superseded (updated-work) base hits can be masked without
+    # starving the top-k merge
+    DELTA_OVERFETCH = 16
+
     def __init__(self, index, ids, embedder, *, nprobe: int = 16,
-                 hydrator: OpenAlexClient | None = None):
+                 hydrator: OpenAlexClient | None = None, deltas=()):
         """``ids``: any indexable position->id map — an IdMap (lazy, O(1)
-        RSS; the production path) or a plain list (tests/small corpora)."""
+        RSS; the production path) or a plain list (tests/small corpora).
+
+        ``deltas``: incremental-fill sub-indexes, OLDEST FIRST — each a
+        (index, ids, id_set) triple. Search fans out over base + deltas
+        and merges newest-wins: a hit is dropped when its id also lives
+        in a NEWER delta (that delta holds the row's current embedding),
+        which is how updated works serve fresh vectors without a full
+        refill (driver._fill_delta)."""
         self.index = index
         self.ids = ids
         self.embedder = embedder
         self.nprobe = nprobe
         self.hydrator = hydrator
+        self.deltas = list(deltas)
 
     @classmethod
     def from_artifacts(
@@ -65,6 +78,26 @@ class SearchEngine:
         # lazy row-group-LRU map: all-of-ids.parquet as a Python list is
         # ~15-25 GB of RSS at 207M rows (round-2 VERDICT missing #2)
         ids = IdMap(index_dir / "ids.parquet")
+
+        # incremental-fill delta sub-indexes (driver._fill_delta):
+        # small, so device storage + an in-RAM id set per delta
+        deltas = []
+        delta_root = index_dir / "delta"
+        if delta_root.is_dir():
+            import pyarrow.parquet as pq
+
+            for ddir in sorted(delta_root.iterdir()):
+                if not (ddir / "index" / "meta.json").exists():
+                    continue
+                didx = IVFPQIndex.load(ddir / "index", mesh=mesh)
+                dmap = IdMap(ddir / "ids.parquet")
+                dset = set(
+                    pq.read_table(ddir / "ids.parquet").column(0).to_pylist())
+                deltas.append((didx, dmap, dset))
+            if deltas:
+                logger.info("engine: %d delta sub-index(es), %d rows total",
+                            len(deltas), sum(d[0].n for d in deltas))
+
         emb = get_embedder(embedder, cfg, mesh=mesh)
         hyd = (
             OpenAlexClient(fetcher) if (hydrate and fetcher is not None)
@@ -72,7 +105,8 @@ class SearchEngine:
             else None
         )
         logger.info("engine: %d vectors, nprobe=%d, dim=%d", index.n, nprobe, index.dim)
-        engine = cls(index, ids, emb, nprobe=nprobe, hydrator=hyd)
+        engine = cls(index, ids, emb, nprobe=nprobe, hydrator=hyd,
+                     deltas=deltas)
         if warmup:
             engine.warmup()
         return engine
@@ -102,19 +136,61 @@ class SearchEngine:
         except Exception:  # noqa: BLE001 — warmup must never kill startup
             logger.exception("warmup failed (serving continues cold)")
 
-    def _resolve(self, positions) -> list[str]:
+    @staticmethod
+    def _resolve_with(ids, positions) -> list[str]:
         """Batch position->id lookup (one row-group read per touched
         group when backed by an IdMap)."""
-        if hasattr(self.ids, "resolve"):
-            return self.ids.resolve(positions)
-        return [self.ids[int(p)] for p in positions]
+        if hasattr(ids, "resolve"):
+            return ids.resolve(positions)
+        return [ids[int(p)] for p in positions]
+
+    def _resolve(self, positions) -> list[str]:
+        return self._resolve_with(self.ids, positions)
+
+    def _search_ids(self, q, k: int) -> list[list[tuple[float, str]]]:
+        """Fan out over base + delta sub-indexes and merge newest-wins:
+        per query, a list of (score, id) of length <= k, score-sorted.
+        Without deltas this is exactly the base search + id resolve."""
+        sources = [(self.index, self.ids)] + [(d[0], d[1]) for d in self.deltas]
+        kk = [k + (self.DELTA_OVERFETCH if self.deltas else 0)] + \
+             [k] * len(self.deltas)
+        per_source = []
+        for (idx, ids), ks in zip(sources, kk):
+            scores, pos = idx.search(q, min(ks, idx.n) if idx.n else 1,
+                                     nprobe=self.nprobe)
+            rows = [
+                [(float(s), int(p)) for s, p in zip(scores[qi], pos[qi])
+                 if p >= 0]
+                for qi in range(len(q))
+            ]
+            flat = [p for row in rows for _, p in row]
+            names = self._resolve_with(ids, flat)
+            it = iter(names)
+            per_source.append(
+                [[(s, next(it)) for s, _ in row] for row in rows])
+        # newer deltas supersede older sources BY ID (the newer delta
+        # holds the row's current embedding), even when the superseded
+        # hit out-scores everything — the stale vector must not serve
+        newer_sets = []
+        acc: set = set()
+        for _, _, dset in reversed(self.deltas):      # newest first
+            newer_sets.append(set(acc))
+            acc |= dset
+        newer_sets.append(set(acc))                    # for the base
+        newer_sets.reverse()                           # align to sources
+        out = []
+        for qi in range(len(q)):
+            cands = []
+            for src, rows in enumerate(per_source):
+                mask = newer_sets[src]
+                cands.extend((s, n) for s, n in rows[qi] if n not in mask)
+            cands.sort(key=lambda t: -t[0])
+            out.append(cands[:k])
+        return out
 
     def search(self, query: str, k: int = 10) -> list[dict]:
         q = self.embedder.queries([query])
-        scores, pos = self.index.search(q, k, nprobe=self.nprobe)
-        keep = [(float(s), int(p)) for s, p in zip(scores[0], pos[0]) if p >= 0]
-        names = self._resolve([p for _, p in keep])
-        results = [{"id": n, "score": s} for (s, _), n in zip(keep, names)]
+        results = [{"id": n, "score": s} for s, n in self._search_ids(q, k)[0]]
         if self.hydrator is not None and results:
             meta = self.hydrator.get_works([r["id"] for r in results])
             for r in results:
@@ -123,15 +199,5 @@ class SearchEngine:
 
     def search_batch(self, queries: list[str], k: int = 10) -> list[list[dict]]:
         q = self.embedder.queries(queries)
-        scores, pos = self.index.search(q, k, nprobe=self.nprobe)
-        keep = [
-            [(float(s), int(p)) for s, p in zip(scores[qi], pos[qi]) if p >= 0]
-            for qi in range(len(queries))
-        ]
-        names = self._resolve([p for row in keep for _, p in row])
-        out, i = [], 0
-        for row in keep:
-            out.append([{"id": names[i + j], "score": s}
-                        for j, (s, _) in enumerate(row)])
-            i += len(row)
-        return out
+        return [[{"id": n, "score": s} for s, n in row]
+                for row in self._search_ids(q, k)]

@@ -23,7 +23,8 @@ import numpy as np
 _SCHEMA = """
 CREATE TABLE IF NOT EXISTS works (
     id        TEXT PRIMARY KEY,
-    embedding BLOB NOT NULL
+    embedding BLOB NOT NULL,
+    rev       INTEGER NOT NULL DEFAULT 0
 ) WITHOUT ROWID;
 CREATE TABLE IF NOT EXISTS meta (
     key   TEXT PRIMARY KEY,
@@ -33,14 +34,30 @@ CREATE TABLE IF NOT EXISTS meta (
 
 
 class EmbeddingStore:
-    """id -> float32 embedding store with upsert semantics."""
+    """id -> float32 embedding store with upsert semantics.
+
+    Every row carries a sync revision ``rev`` (stamped at upsert from
+    the store-level ``sync_rev`` counter, bumped once per sync run by
+    the driver): the incremental-fill path streams only rows with
+    ``rev`` past the last fill's watermark, so a quarterly sync indexes
+    O(new/updated works) instead of refilling the whole corpus (the
+    reference re-fills all 207M rows each quarter, Makefile:23-25)."""
 
     def __init__(self, path: str | Path, *, create: bool = False):
         self.path = Path(path)
         if not create and not self.path.exists():
             raise FileNotFoundError(f"store does not exist: {self.path}")
-        self.conn = sqlite3.connect(str(self.path))
+        # check_same_thread=False: fill_stream consumes row iterators
+        # from its prefetch thread; access is single-threaded at any
+        # moment (handoff, not sharing), which sqlite allows
+        self.conn = sqlite3.connect(str(self.path), check_same_thread=False)
         self.conn.executescript(_SCHEMA)
+        # migrate pre-rev stores in place (rows keep rev=0)
+        cols = {r[1] for r in self.conn.execute("PRAGMA table_info(works)")}
+        if "rev" not in cols:
+            with self.conn:
+                self.conn.execute(
+                    "ALTER TABLE works ADD COLUMN rev INTEGER NOT NULL DEFAULT 0")
         # Bulk-ingest friendly pragmas; durability is provided by the
         # events/ stamp protocol above this layer, not by per-row fsync.
         self.conn.execute("PRAGMA journal_mode=WAL")
@@ -65,6 +82,23 @@ class EmbeddingStore:
         v = self.get_meta("dim")
         return int(v) if v is not None else None
 
+    # -- sync revisions -------------------------------------------------------
+
+    @property
+    def sync_rev(self) -> int:
+        return int(self.get_meta("sync_rev", "0"))
+
+    def bump_rev(self) -> int:
+        """Start a new sync generation; subsequent upserts stamp it."""
+        rev = self.sync_rev + 1
+        self.set_meta("sync_rev", str(rev))
+        return rev
+
+    def count_since(self, watermark: int) -> int:
+        return self.conn.execute(
+            "SELECT COUNT(*) FROM works WHERE rev > ?", (watermark,)
+        ).fetchone()[0]
+
     # -- rows ---------------------------------------------------------------
 
     def upsert(self, ids: Sequence[str], embeddings: np.ndarray) -> None:
@@ -77,11 +111,13 @@ class EmbeddingStore:
             self.set_meta("dim", str(embeddings.shape[1]))
         elif dim != embeddings.shape[1]:
             raise ValueError(f"dim mismatch: store={dim}, batch={embeddings.shape[1]}")
-        rows = ((i, memoryview(e.tobytes())) for i, e in zip(ids, embeddings))
+        rev = self.sync_rev
+        rows = ((i, memoryview(e.tobytes()), rev) for i, e in zip(ids, embeddings))
         with self.conn:
             self.conn.executemany(
-                "INSERT INTO works (id, embedding) VALUES (?, ?) "
-                "ON CONFLICT(id) DO UPDATE SET embedding=excluded.embedding",
+                "INSERT INTO works (id, embedding, rev) VALUES (?, ?, ?) "
+                "ON CONFLICT(id) DO UPDATE SET "
+                "embedding=excluded.embedding, rev=excluded.rev",
                 rows,
             )
 
@@ -94,10 +130,20 @@ class EmbeddingStore:
             return None
         return np.frombuffer(row[0], dtype=np.float32)
 
-    def iter_batches(self, batch_size: int = 65_536) -> Iterator[tuple[list[str], np.ndarray]]:
-        """Iterate (ids, embeddings) batches in id order (deterministic dumps)."""
+    def iter_batches(self, batch_size: int = 65_536, *,
+                     min_rev: int | None = None,
+                     ) -> Iterator[tuple[list[str], np.ndarray]]:
+        """Iterate (ids, embeddings) batches in id order (deterministic
+        dumps). ``min_rev`` restricts to rows upserted at or after that
+        sync revision (the incremental-fill delta stream)."""
         dim = self.dim
-        cur = self.conn.execute("SELECT id, embedding FROM works ORDER BY id")
+        if min_rev is None:
+            cur = self.conn.execute(
+                "SELECT id, embedding FROM works ORDER BY id")
+        else:
+            cur = self.conn.execute(
+                "SELECT id, embedding FROM works WHERE rev >= ? ORDER BY id",
+                (min_rev,))
         while True:
             rows = cur.fetchmany(batch_size)
             if not rows:
