@@ -121,17 +121,19 @@ class SearchEngine:
         t0 = time.perf_counter()
         try:
             q = self.embedder.queries(["warmup"])
-            # first search: the two-step (probe+scan) cold path +
-            # records the speculative shape
-            self.index.search(q, k, nprobe=self.nprobe)
-            # second search compiles the fused single-dispatch program
-            # real steady-state traffic rides — only where that path
-            # can apply (device storage, or hybrid with nothing cold);
-            # host/cold-hybrid engines would just re-run the already-
-            # warm programs and burn a full round trip per startup
+            # run the REAL serving path twice (base at its overfetched
+            # k, every delta at k — identical program shapes to live
+            # traffic): the first pass compiles the two-step cold path
+            # and records speculative shapes, the second compiles the
+            # fused single-dispatch program steady-state traffic rides.
+            # Skip the second pass when no sub-index has a fused path
+            # (host storage / hybrid with a cold tail) — it would just
+            # re-run warm programs and burn a startup round trip.
+            self._search_ids(q, k)
             if (self.index.storage == "device"
-                    or not getattr(self.index, "_has_cold", True)):
-                self.index.search(q, k, nprobe=self.nprobe)
+                    or not getattr(self.index, "_has_cold", True)
+                    or self.deltas):
+                self._search_ids(q, k)
             logger.info("warmup: compiled in %.1fs", time.perf_counter() - t0)
         except Exception:  # noqa: BLE001 — warmup must never kill startup
             logger.exception("warmup failed (serving continues cold)")
