@@ -180,7 +180,24 @@ def pack_lists(
         # simply seg_start[l]*SEG + rank-within-list
         dest = seg_start[sorted_lists] * seg_size + row_in_list
         if transposed:
-            data_out[dest // seg_size, :, dest % seg_size] = payloads[order]
+            # naive per-row column scatter (data_out[seg, :, col] = row)
+            # costs ~2 us/row of numpy overhead — the fill-path pack's
+            # hot loop at 207M. Instead: stage a run of segments
+            # ROW-major (one contiguous fancy row-scatter), transpose
+            # the whole block, write. dest is ascending, so segment
+            # runs are contiguous slices of the sorted rows.
+            mb = payload_shape[0]
+            ch_segs = max(1, (64 << 20) // (seg_size * mb))  # ~64 MB stage
+            for s0 in range(0, int(seg_cnt.sum()), ch_segs):
+                s1 = min(s0 + ch_segs, int(seg_cnt.sum()))
+                lo, hi = np.searchsorted(
+                    dest, [s0 * seg_size, s1 * seg_size])
+                if lo == hi:
+                    continue
+                stage = np.zeros((s1 - s0, seg_size, mb), payloads.dtype)
+                stage.reshape(-1, mb)[dest[lo:hi] - s0 * seg_size] = \
+                    payloads[order[lo:hi]]
+                data_out[s0:s1] = stage.transpose(0, 2, 1)
         else:
             data_out.reshape((-1,) + tuple(payload_shape))[dest] = payloads[order]
         row_ids_out.reshape(-1)[dest] = np.asarray(positions, np.int64)[order]
