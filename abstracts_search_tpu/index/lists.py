@@ -419,16 +419,27 @@ def _pack_sorted_scatter(payloads, positions, assignments, counts, seg_start,
         rank = (lo + np.arange(len(sel), dtype=np.int64)) - row_start[sl]
         dest = seg_start[sl] * seg_size + rank
         if transposed:
-            segs = dest // seg_size
-            cols = dest % seg_size
-            pay_t = np.ascontiguousarray(np.asarray(payloads[sel]).T)  # [MB, rows]
-            starts = np.flatnonzero(np.diff(segs, prepend=segs[0] - 1)
-                                    ) if len(segs) else np.zeros(0, np.int64)
-            bounds = np.append(starts, len(segs))
-            for bi in range(len(starts)):
-                a, b = int(bounds[bi]), int(bounds[bi + 1])
-                data_mm[int(segs[a]), :, int(cols[a]) : int(cols[b - 1]) + 1] = \
-                    pay_t[:, a:b]
+            # stage whole segment runs row-major and block-transpose
+            # (same trick as pack_lists; the per-run [MB, run] column
+            # writes cost ~2 us/row of numpy overhead). A slab may
+            # START or END mid-segment, so the boundary segments are
+            # read-modify-written from the memmap.
+            mb = data_mm.shape[1]
+            s_first, s_last = int(dest[0] // seg_size), int(dest[-1] // seg_size)
+            ch = max(2, (64 << 20) // (seg_size * mb))
+            rows_sorted = np.asarray(payloads[sel])
+            for s0 in range(s_first, s_last + 1, ch):
+                s1 = min(s0 + ch, s_last + 1)
+                a, b = np.searchsorted(dest, [s0 * seg_size, s1 * seg_size])
+                if a == b:
+                    continue
+                stage = np.zeros((s1 - s0, seg_size, mb), data_mm.dtype)
+                # boundary segments may hold rows from other slabs/chunks
+                stage[0] = data_mm[s0].transpose(1, 0)
+                if s1 - 1 != s0:
+                    stage[-1] = data_mm[s1 - 1].transpose(1, 0)
+                stage.reshape(-1, mb)[dest[a:b] - s0 * seg_size] = rows_sorted[a:b]
+                data_mm[s0:s1] = stage.transpose(0, 2, 1)
         else:
             data_flat[dest] = payloads[sel]
         row_flat[dest] = np.asarray(positions[sel], np.int64)
