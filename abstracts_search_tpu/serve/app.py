@@ -50,7 +50,11 @@ async function go(){
 </script></body></html>"""
 
 
-def make_handler(engine: SearchEngine):
+def make_handler(engine: SearchEngine, batcher=None):
+    """``batcher``: optional MicroBatcher — concurrent GET /search
+    requests fold into one batched device search (serve/batcher.py)."""
+    single = batcher.search if batcher is not None else engine.search
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, body: bytes, ctype: str) -> None:
             self.send_response(code)
@@ -71,7 +75,7 @@ def make_handler(engine: SearchEngine):
                     return
                 k = int((qs.get("k") or ["10"])[0])
                 try:
-                    results = engine.search(query, k=min(k, 100))
+                    results = single(query, k=min(k, 100))
                     body = json.dumps({"query": query, "results": results}).encode()
                     self._send(200, body, "application/json")
                 except Exception as e:
@@ -114,9 +118,14 @@ def make_handler(engine: SearchEngine):
 
 
 def run_server(cfg: Config, *, host: str = "127.0.0.1", port: int = 7860,
-               embedder: str = "auto", engine: SearchEngine | None = None) -> None:
+               embedder: str = "auto", engine: SearchEngine | None = None,
+               micro_batch: bool = True) -> None:
+    from .batcher import MicroBatcher
+
     if engine is None:
         engine = SearchEngine.from_artifacts(cfg, index_dir=cfg.index_dir, embedder=embedder)
-    server = ThreadingHTTPServer((host, port), make_handler(engine))
-    logger.info("serving on http://%s:%d", host, port)
+    batcher = MicroBatcher(engine) if micro_batch else None
+    server = ThreadingHTTPServer((host, port), make_handler(engine, batcher))
+    logger.info("serving on http://%s:%d%s", host, port,
+                " (micro-batching)" if micro_batch else "")
     server.serve_forever()

@@ -1,0 +1,117 @@
+"""Dynamic micro-batching for the HTTP serving path.
+
+Each single-query request costs a full dispatch + sync round trip on
+the device (through a remote tunnel, ~2 RTTs); the per-batch cost is
+nearly flat in batch size at serving shapes (benchmarks/RESULTS.md —
+batch 256 costs ~the same round trips as batch 1). A short gather
+window folds concurrent requests into ONE batched search, so
+throughput under concurrency multiplies by the achieved batch size
+while adding at most ``window_s`` of latency (default 5 ms, well under
+one tunnel RTT).
+
+Batch sizes are bucketed to powers of two (padded by repeating the
+first query) so the engine compiles O(log max_batch) program shapes,
+not one per observed batch size.
+
+The reference's serving layer (`abstracts-index` app.py,
+/root/reference/README.md:28) runs one faiss query per request; this
+is a beyond-parity serving feature.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from concurrent.futures import Future
+
+logger = logging.getLogger(__name__)
+
+
+def _next_pow2(v: int) -> int:
+    return 1 << max(0, (v - 1).bit_length())
+
+
+class MicroBatcher:
+    """Folds concurrent `search(query, k)` calls into batched engine
+    searches. Thread-safe; requests block until their batch returns."""
+
+    def __init__(self, engine, *, max_batch: int = 64,
+                 window_s: float = 0.005):
+        self.engine = engine
+        self.max_batch = max_batch
+        self.window_s = window_s
+        self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
+        self._q: queue.Queue = queue.Queue()
+        self._closed = False
+        self._thread = threading.Thread(
+            target=self._loop, name="astpu-microbatch", daemon=True)
+        self._thread.start()
+
+    def search(self, query: str, k: int = 10):
+        if self._closed:
+            raise RuntimeError("batcher closed")
+        fut: Future = Future()
+        self._q.put((query, k, fut))
+        return fut.result()
+
+    def close(self) -> None:
+        self._closed = True
+        self._q.put(None)
+        self._thread.join(timeout=5)
+
+    # -- worker -----------------------------------------------------------------
+
+    def _gather(self):
+        """Block for the first request, then soak the window."""
+        import time
+
+        first = self._q.get()
+        if first is None:
+            return None
+        batch = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(batch) < self.max_batch:
+            left = deadline - time.monotonic()
+            if left <= 0:
+                break
+            try:
+                item = self._q.get(timeout=left)
+            except queue.Empty:
+                break
+            if item is None:
+                self._q.put(None)  # re-post the shutdown sentinel
+                break
+            batch.append(item)
+        return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._gather()
+            if batch is None:
+                return
+            texts = [t for t, _, _ in batch]
+            kmax = max(k for _, k, _ in batch)
+            # pad to a power-of-two bucket: O(log max_batch) compiled
+            # shapes instead of one per observed batch size
+            padded = _next_pow2(len(texts))
+            texts = texts + [texts[0]] * (padded - len(texts))
+            try:
+                rows = self.engine.search_batch(texts, k=kmax)[: len(batch)]
+                if self.engine.hydrator is not None:
+                    ids = [r["id"] for row in rows for r in row]
+                    if ids:
+                        meta = self.engine.hydrator.get_works(ids)
+                        for row in rows:
+                            for r in row:
+                                r.update(meta.get(r["id"], {}))
+            except Exception as exc:  # noqa: BLE001 — deliver to callers
+                for _, _, fut in batch:
+                    fut.set_exception(exc)
+                continue
+            self.stats["requests"] += len(batch)
+            self.stats["batches"] += 1
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(batch))
+            for (_, k, fut), row in zip(batch, rows):
+                fut.set_result(row[:k])

@@ -108,3 +108,65 @@ def test_warmup_compiles_single_query_path(engine):
         for k in keys
     ), keys
     assert any(k[0] in ("scan", "rank", "fscan") for k in keys), keys
+
+
+def test_micro_batcher_folds_concurrent_requests(engine):
+    """Concurrent single-query requests share batched device searches:
+    correctness per request, and at least one real fold (batch > 1)."""
+    import threading
+
+    from abstracts_search_tpu.serve.batcher import MicroBatcher
+
+    b = MicroBatcher(engine, max_batch=16, window_s=0.05)
+    try:
+        results = {}
+        errors = []
+
+        def hit(i):
+            try:
+                results[i] = b.search(f"query {i}", k=3 + (i % 2))
+            except Exception as e:  # noqa: BLE001
+                errors.append(e)
+
+        threads = [threading.Thread(target=hit, args=(i,)) for i in range(12)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errors
+        assert len(results) == 12
+        for i, rows in results.items():
+            assert len(rows) == 3 + (i % 2)       # per-request k honored
+            assert all("id" in r and "score" in r for r in rows)
+        assert b.stats["requests"] == 12
+        assert b.stats["batches"] < 12            # something actually folded
+        assert b.stats["max_batch_seen"] > 1
+        # per-request results must equal an unbatched search
+        solo = engine.search("query 5", k=4)
+        assert [r["id"] for r in results[5]] == [r["id"] for r in solo]
+    finally:
+        b.close()
+
+
+def test_micro_batcher_propagates_errors(engine):
+    from abstracts_search_tpu.serve.batcher import MicroBatcher
+
+    class Boom(Exception):
+        pass
+
+    def explode(*a, **kw):
+        raise Boom("nope")
+
+    b = MicroBatcher(engine, max_batch=4, window_s=0.01)
+    try:
+        orig = engine.search_batch
+        engine.search_batch = explode
+        import pytest
+
+        with pytest.raises(Boom):
+            b.search("x", k=3)
+        engine.search_batch = orig
+        # batcher survives the failure and serves again
+        assert b.search("query 1", k=3)
+    finally:
+        b.close()
