@@ -316,7 +316,8 @@ def cmd_search(args, cfg):
 def cmd_serve(args, cfg):
     from .serve.app import run_server
 
-    run_server(cfg, host=args.host, port=args.port, embedder=args.embedder)
+    run_server(cfg, host=args.host, port=args.port, embedder=args.embedder,
+               micro_batch=not args.no_micro_batch)
 
 
 # -- parser ------------------------------------------------------------------------------------
@@ -431,6 +432,8 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--host", default="127.0.0.1")
     sp.add_argument("--port", type=int, default=7860)
     sp.add_argument("--embedder", default="auto")
+    sp.add_argument("--no-micro-batch", action="store_true",
+                    help="disable the concurrent-request gather window")
     sp.set_defaults(fn=cmd_serve)
 
     return p
