@@ -97,6 +97,14 @@ class SearchEngine:
             if deltas:
                 logger.info("engine: %d delta sub-index(es), %d rows total",
                             len(deltas), sum(d[0].n for d in deltas))
+                total = sum(d[0].n for d in deltas)
+                if total > 20_000_000 or len(deltas) > 8:
+                    logger.warning(
+                        "engine: delta set is large (%d rows in %d "
+                        "sub-indexes; id sets are RAM-resident and each "
+                        "delta adds a search round trip) — run a full "
+                        "`astpu index fill --force` to compact",
+                        total, len(deltas))
 
         emb = get_embedder(embedder, cfg, mesh=mesh)
         hyd = (
