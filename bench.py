@@ -32,6 +32,28 @@ BASELINE_QPS = 12.0  # documented estimate, see module docstring
 
 
 def main() -> None:
+    import os
+    import threading
+
+    # watchdog: a wedged chip/tunnel hangs the first device op forever
+    # (CLAUDE.md: a wedged chip never returns, even for x+1). Emit an
+    # honest zero-result line instead of hanging the round driver. 20
+    # minutes clears the slowest observed first compile (~12 min).
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(1200):
+            print(json.dumps({
+                "metric": "exact flat IP search QPS",
+                "value": 0.0,
+                "unit": "queries/sec/chip",
+                "vs_baseline": 0.0,
+                "error": "device unreachable within 1200s (wedged chip/tunnel)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
 
@@ -91,6 +113,7 @@ def main() -> None:
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 1),
     }
+    done.set()
     print(json.dumps(result))
 
 
