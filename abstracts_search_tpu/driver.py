@@ -147,6 +147,9 @@ class Driver:
         else:
             p = self.store_path.with_name(self.store_path.name + f".p{pid}")
             store = init_store(p) if not p.exists() else EmbeddingStore(p)
+            # per-run revision for the part store too: the dump-time
+            # merge moves only rows past its per-part high-water mark
+            store.bump_rev()
             owner = (pid, count)
         try:
             out = sync(urls, state, self.embedder, store,
@@ -168,22 +171,31 @@ class Driver:
         store = self._store(create=True)
         merged = 0
         try:
-            # merged rows are stamped with a fresh MAIN-store revision:
-            # part stores carry their own counters, but for the
-            # incremental-fill watermark what matters is "arrived since
-            # the last fill of THIS store"
+            # merged rows are stamped with a fresh MAIN-store revision
+            # (part counters are per-host, incomparable) — but only the
+            # rows each part upserted SINCE ITS LAST MERGE move (a
+            # per-part high-water mark in main meta): re-merging every
+            # part row on every dump would mark the whole corpus "new"
+            # for the incremental-fill watermark
             rev = store.bump_rev()
             for p in parts:
                 store.conn.execute("ATTACH DATABASE ? AS src", (str(p),))
+                hw_key = f"merged_rev_{p.name}"
+                last = int(store.get_meta(hw_key, "-1"))
+                part_rev = store.conn.execute(
+                    "SELECT value FROM src.meta WHERE key='sync_rev'"
+                ).fetchone()
                 cur = store.conn.execute(
                     "INSERT OR REPLACE INTO works (id, embedding, rev) "
-                    "SELECT id, embedding, ? FROM src.works", (rev,))
+                    "SELECT id, embedding, ? FROM src.works WHERE rev > ?",
+                    (rev, last))
                 merged += cur.rowcount
                 # meta too (the `dim` key — iter_batches needs it), but
                 # never the part store's own sync_rev counter
                 store.conn.execute(
                     "INSERT OR REPLACE INTO meta "
                     "SELECT * FROM src.meta WHERE key != 'sync_rev'")
+                store.set_meta(hw_key, part_rev[0] if part_rev else "0")
                 store.conn.commit()
                 store.conn.execute("DETACH DATABASE src")
         finally:
@@ -222,6 +234,9 @@ class Driver:
             shutil.rmtree(self.published_events)
         store = self._store()
         try:
+            # dump_store_to_shards records the captured store revision
+            # in .astpu_dump_meta.json — the incremental-fill watermark
+            # (rows upserted after the dump must stay "pending")
             n = dump_store_to_shards(
                 store, self.data_dir,
                 shard_size=self.cfg.shard_size,
@@ -319,19 +334,15 @@ class Driver:
         self.target_train(kmeans_iters=kmeans_iters)
         fp = self._data_fingerprint()
         stamp = self._read_fill_stamp()
-        if (
-            not force and stamp is not None
-            and stamp["fingerprint"] == fp
-            and self.filled_dir.is_dir() and self.ids_path.exists()
-        ):
-            logger.info("fill: up to date")
-            return False
-        if (
-            incremental and not force and stamp is not None
-            and stamp["watermark"] is not None
-            and self.filled_dir.is_dir() and self.ids_path.exists()
-            and self.store_path.exists()
-        ):
+        base_ok = (stamp is not None and self.filled_dir.is_dir()
+                   and self.ids_path.exists())
+        # the incremental path streams from the STORE, so it must be
+        # consulted BEFORE the dump-fingerprint no-op: `astpu build &&
+        # astpu index fill --incremental` has new store rows but an
+        # unchanged dump
+        if (incremental and not force and base_ok
+                and stamp["watermark"] is not None
+                and self.store_path.exists()):
             import jax
 
             if jax.process_count() > 1:
@@ -339,6 +350,9 @@ class Driver:
                                "running a full fill")
             else:
                 return self._fill_delta(fp, stamp)
+        if not force and base_ok and stamp["fingerprint"] == fp:
+            logger.info("fill: up to date")
+            return False
 
         self._filled_index = None
         index = self._load_index(filled=False)
@@ -380,13 +394,17 @@ class Driver:
             writer.close()
             ids_tmp.replace(self.ids_path)
             index.save(self.filled_dir)
-            # a full fill covers everything the store holds right now:
-            # record its revision as the incremental watermark and drop
-            # any delta sub-indexes (they are now folded in)
-            watermark = 0
-            if self.store_path.exists():
-                with self._store() as store:
-                    watermark = store.sync_rev
+            # a full fill covers exactly what the DUMP captured: its
+            # recorded store revision is the incremental watermark.
+            # Rows upserted after that dump stay past the watermark
+            # (stamping the live store counter here would silently
+            # orphan them from every future incremental fill). A data
+            # dir without dump metadata (virtual corpora, recovered
+            # trees) gets no watermark — incremental needs a real dump.
+            watermark = None
+            dm = self.data_dir / ".astpu_dump_meta.json"
+            if dm.exists():
+                watermark = json.loads(dm.read_text()).get("store_rev")
             if self.delta_root.is_dir():
                 shutil.rmtree(self.delta_root)
             self.fill_stamp.write_text(json.dumps(

@@ -44,21 +44,37 @@ class MicroBatcher:
         self.stats = {"requests": 0, "batches": 0, "max_batch_seen": 0}
         self._q: queue.Queue = queue.Queue()
         self._closed = False
+        self._lock = threading.Lock()
         self._thread = threading.Thread(
             target=self._loop, name="astpu-microbatch", daemon=True)
         self._thread.start()
 
     def search(self, query: str, k: int = 10):
-        if self._closed:
-            raise RuntimeError("batcher closed")
         fut: Future = Future()
-        self._q.put((query, k, fut))
+        # the closed check and the enqueue are one atomic step: without
+        # the lock a request could slip in behind the shutdown sentinel
+        # and block forever on a future nobody will complete
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("batcher closed")
+            self._q.put((query, k, fut))
         return fut.result()
 
     def close(self) -> None:
-        self._closed = True
-        self._q.put(None)
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
+            self._q.put(None)
         self._thread.join(timeout=5)
+        # fail anything that was queued behind the sentinel
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None:
+                item[2].set_exception(RuntimeError("batcher closed"))
 
     # -- worker -----------------------------------------------------------------
 
@@ -98,13 +114,7 @@ class MicroBatcher:
             texts = texts + [texts[0]] * (padded - len(texts))
             try:
                 rows = self.engine.search_batch(texts, k=kmax)[: len(batch)]
-                if self.engine.hydrator is not None:
-                    ids = [r["id"] for row in rows for r in row]
-                    if ids:
-                        meta = self.engine.hydrator.get_works(ids)
-                        for row in rows:
-                            for r in row:
-                                r.update(meta.get(r["id"], {}))
+                self.engine.hydrate_rows(rows)
             except Exception as exc:  # noqa: BLE001 — deliver to callers
                 for _, _, fut in batch:
                     fut.set_exception(exc)

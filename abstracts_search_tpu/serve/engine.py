@@ -45,6 +45,17 @@ class SearchEngine:
         self.nprobe = nprobe
         self.hydrator = hydrator
         self.deltas = list(deltas)
+        # newest-wins masks, precomputed once (they depend only on the
+        # delta set; rebuilding them per request copies O(total delta
+        # ids) — a hot-path cost that would dwarf the device search)
+        newer = []
+        acc: set = set()
+        for _, _, dset in reversed(self.deltas):      # newest first
+            newer.append(acc)
+            acc = acc | dset
+        newer.append(acc)                              # for the base
+        newer.reverse()                                # align to sources
+        self._newer_sets = newer
 
     @classmethod
     def from_artifacts(
@@ -162,8 +173,10 @@ class SearchEngine:
         per query, a list of (score, id) of length <= k, score-sorted.
         Without deltas this is exactly the base search + id resolve."""
         sources = [(self.index, self.ids)] + [(d[0], d[1]) for d in self.deltas]
-        kk = [k + (self.DELTA_OVERFETCH if self.deltas else 0)] + \
-             [k] * len(self.deltas)
+        # every source whose hits a NEWER delta can mask is overfetched
+        # so the post-mask pool stays >= k; the newest source needs none
+        kk = [k + self.DELTA_OVERFETCH] * len(sources)
+        kk[-1] = k
         per_source = []
         for (idx, ids), ks in zip(sources, kk):
             scores, pos = idx.search(q, min(ks, idx.n) if idx.n else 1,
@@ -181,30 +194,34 @@ class SearchEngine:
         # newer deltas supersede older sources BY ID (the newer delta
         # holds the row's current embedding), even when the superseded
         # hit out-scores everything — the stale vector must not serve
-        newer_sets = []
-        acc: set = set()
-        for _, _, dset in reversed(self.deltas):      # newest first
-            newer_sets.append(set(acc))
-            acc |= dset
-        newer_sets.append(set(acc))                    # for the base
-        newer_sets.reverse()                           # align to sources
         out = []
         for qi in range(len(q)):
             cands = []
             for src, rows in enumerate(per_source):
-                mask = newer_sets[src]
+                mask = self._newer_sets[src]
                 cands.extend((s, n) for s, n in rows[qi] if n not in mask)
             cands.sort(key=lambda t: -t[0])
             out.append(cands[:k])
         return out
 
+    def hydrate_rows(self, rows: list[list[dict]]) -> None:
+        """Attach OpenAlex metadata in place, ONE get_works call for
+        all rows (shared by the single-query path and the micro-
+        batcher so the two serving paths cannot diverge)."""
+        if self.hydrator is None:
+            return
+        ids = [r["id"] for row in rows for r in row]
+        if not ids:
+            return
+        meta = self.hydrator.get_works(ids)
+        for row in rows:
+            for r in row:
+                r.update(meta.get(r["id"], {}))
+
     def search(self, query: str, k: int = 10) -> list[dict]:
         q = self.embedder.queries([query])
         results = [{"id": n, "score": s} for s, n in self._search_ids(q, k)[0]]
-        if self.hydrator is not None and results:
-            meta = self.hydrator.get_works([r["id"] for r in results])
-            for r in results:
-                r.update(meta.get(r["id"], {}))
+        self.hydrate_rows([results])
         return results
 
     def search_batch(self, queries: list[str], k: int = 10) -> list[list[dict]]:

@@ -219,11 +219,20 @@ def dump_store_to_shards(
     dim = store.dim
     if dim is None:
         raise ValueError("store is empty; nothing to dump")
+    store_rev = getattr(store, "sync_rev", None)
     n = 0
     with ShardWriter(out_dir, dim, shard_size=shard_size, row_group_size=row_group_size) as w:
         for ids, embs in store.iter_batches(batch_size=row_group_size):
             w.write(ids, embs)
             n += len(ids)
+    if store_rev is not None:
+        # which store revision this export captured: a full fill of
+        # these shards covers rows with rev <= store_rev, making this
+        # the incremental-fill watermark (driver.target_fill)
+        import json
+
+        (Path(out_dir) / ".astpu_dump_meta.json").write_text(
+            json.dumps({"store_rev": int(store_rev)}))
     return n
 
 

@@ -153,3 +153,43 @@ def test_second_delta_and_compaction(env):
     assert eng2.deltas == []
     assert eng2.search("moved in round 2", k=5)[0]["id"] == "R1X005"
     assert eng2.search("round 2 doc 11", k=5)[0]["id"] == "R2X011"
+
+
+def test_incremental_without_redump_sees_store_rows(env):
+    """`astpu build && index fill --incremental` (no dump in between)
+    must index the new store rows — the delta streams from the store,
+    and the dump-fingerprint no-op must not short-circuit it."""
+    cfg, emb = env
+    drv = Driver(cfg)
+    drv.target_dump()
+    drv.target_fill()
+
+    store = EmbeddingStore(cfg.store_path)
+    store.bump_rev()
+    store.upsert(["FRESH001"], emb(["fresh undumped doc"]))
+    store.close()
+    # NO dump here
+    assert drv.target_fill(incremental=True) is True
+    eng = _engine(cfg)
+    assert eng.search("fresh undumped doc", k=3)[0]["id"] == "FRESH001"
+
+
+def test_full_fill_watermark_is_dump_time_not_live(env):
+    """Rows upserted AFTER the dump must stay past the watermark a
+    full fill records — stamping the live store counter would orphan
+    them from every future incremental fill (silent data loss)."""
+    cfg, emb = env
+    drv = Driver(cfg)
+    drv.target_dump()
+
+    # upsert AFTER the dump, BEFORE the full fill
+    store = EmbeddingStore(cfg.store_path)
+    store.bump_rev()
+    store.upsert(["LATE0001"], emb(["late arriving doc"]))
+    store.close()
+
+    drv.target_fill()           # fills the (stale) dump
+    # the late row must be recoverable incrementally
+    assert drv.target_fill(incremental=True) is True
+    eng = _engine(cfg)
+    assert eng.search("late arriving doc", k=3)[0]["id"] == "LATE0001"
