@@ -204,8 +204,18 @@ def cmd_sync(args, cfg):
     d = _driver(args, cfg)
     res = d.target_build()
     print(json.dumps({"ingested_partitions": res}))
-    d.target_dump()
-    d.target_fill(incremental=args.incremental)
+    # incremental sync skips the full re-dump (at 207M that is an
+    # ~850 GB parquet rewrite — the reference pays it every quarter,
+    # Makefile:46-49): the delta fill streams straight from the store.
+    # `astpu dump`/`publish` re-export when a published dataset refresh
+    # is actually wanted. Without a prior full dump+fill the fill falls
+    # back to the full path, which DOES need fresh shards — dump then.
+    stamp = d._read_fill_stamp()
+    if args.incremental and stamp is not None and stamp["watermark"] is not None:
+        d.target_fill(incremental=True)
+    else:
+        d.target_dump()
+        d.target_fill(incremental=args.incremental)
     d.target_tune()
 
 
