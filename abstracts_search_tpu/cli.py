@@ -259,11 +259,36 @@ def cmd_publish(args, cfg):
             print(f"publish: NOT READY: {p}", file=sys.stderr)
         raise RuntimeError("artifact layout incomplete")
 
+    # incremental syncs defer the full re-dump, so the parquet dataset
+    # can lag the store — publishing it then would ship stale
+    # embeddings as the recovery source
+    dm = Path(cfg.data_dir) / ".astpu_dump_meta.json"
+    if Path(cfg.store_path).exists() and dm.exists():
+        from .storage.sqlite_store import EmbeddingStore
+
+        with EmbeddingStore(cfg.store_path) as st:
+            live = st.sync_rev
+        dumped = json.loads(dm.read_text()).get("store_rev") or 0
+        if live > dumped:
+            print(f"publish: WARNING: store revision {live} is past the "
+                  f"dumped revision {dumped} (incremental syncs since the "
+                  f"last dump) — run `astpu dump {cfg.store_path} "
+                  f"{cfg.data_dir}` first or the published embeddings "
+                  f"will be stale", file=sys.stderr)
+
     emb_src, faiss_src = emb_root, idx_root.parent
     if args.out:
         out = Path(args.out)
-        emb_src = _stage_tree(emb_root, out / "abstracts-embeddings")
-        faiss_src = _stage_tree(idx_root.parent, out / "abstracts-faiss")
+        # stage the named artifact trees EXPLICITLY — walking
+        # ``.parent`` swallows the whole working directory (including
+        # the staging output, recursively) when data_dir/index_dir are
+        # single-component relative paths
+        emb_src = _stage_trees(out / "abstracts-embeddings", {
+            "data": Path(cfg.data_dir),
+            "events": emb_root / "events",
+        })
+        faiss_src = _stage_trees(out / "abstracts-faiss",
+                                 {idx_root.name: idx_root})
         print(f"staged {emb_src} and {faiss_src} (see publish_manifest.json)")
     print("# publish the embeddings dataset (CC0) — recovery source for `astpu recover`")
     print(f"hf upload {args.embeddings_repo} {emb_src} --repo-type dataset")
@@ -271,28 +296,31 @@ def cmd_publish(args, cfg):
     print(f"hf upload {args.faiss_repo} {faiss_src} --repo-type dataset")
 
 
-def _stage_tree(src, dst):
-    """Hardlink (fallback copy) ``src`` into ``dst`` + size manifest —
-    a complete, recover-tested upload tree without doubling disk."""
+def _stage_trees(dst, parts):
+    """Hardlink (fallback copy) each named ``parts[name]`` tree into
+    ``dst/name`` + one size manifest — a complete, recover-tested
+    upload tree without doubling disk."""
     import json as _json
     import os
     import shutil
     from pathlib import Path
 
-    src, dst = Path(src), Path(dst)
+    dst = Path(dst)
     if dst.exists():
         shutil.rmtree(dst)
     manifest = {}
-    for root, _dirs, files in os.walk(src):
-        rel_root = Path(root).relative_to(src)
-        (dst / rel_root).mkdir(parents=True, exist_ok=True)
-        for f in files:
-            s, d = Path(root) / f, dst / rel_root / f
-            try:
-                os.link(s, d)
-            except OSError:
-                shutil.copy2(s, d)
-            manifest[str(rel_root / f)] = s.stat().st_size
+    for name, src in parts.items():
+        src = Path(src)
+        for root, _dirs, files in os.walk(src):
+            rel_root = Path(name) / Path(root).relative_to(src)
+            (dst / rel_root).mkdir(parents=True, exist_ok=True)
+            for f in files:
+                s, d = Path(root) / f, dst / rel_root / f
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)
+                manifest[str(rel_root / f)] = s.stat().st_size
     (dst / "publish_manifest.json").write_text(_json.dumps(manifest, indent=2, sort_keys=True))
     return dst
 
