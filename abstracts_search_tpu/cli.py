@@ -130,11 +130,9 @@ def cmd_index(args, cfg):
         print(f"params in {d.params_path}")
     elif args.index_cmd == "fill":
         d.target_fill(force=args.force, incremental=args.incremental)
-        if d.delta_dirs():
-            print(f"filled index in {d.filled_dir} + {d.ids_path} "
-                  f"(+{len(d.delta_dirs())} delta sub-index(es))")
-        else:
-            print(f"filled index in {d.filled_dir} + {d.ids_path}")
+        extra = (f" (+{len(d.delta_dirs())} delta sub-index(es))"
+                 if d.delta_dirs() else "")
+        print(f"filled index in {d.filled_dir} + {d.ids_path}{extra}")
     elif args.index_cmd == "resegment":
         # rewrite the FILLED artifact at a smaller segment size without
         # re-encoding (sheds per-list tail padding — what makes a 207M
@@ -210,8 +208,7 @@ def cmd_sync(args, cfg):
     # `astpu dump`/`publish` re-export when a published dataset refresh
     # is actually wanted. Without a prior full dump+fill the fill falls
     # back to the full path, which DOES need fresh shards — dump then.
-    stamp = d._read_fill_stamp()
-    if args.incremental and stamp is not None and stamp["watermark"] is not None:
+    if args.incremental and d.incremental_ready():
         d.target_fill(incremental=True)
     else:
         d.target_dump()

@@ -323,6 +323,15 @@ class Driver:
     def delta_root(self) -> Path:
         return self.index_dir / "delta"
 
+    def incremental_ready(self) -> bool:
+        """True when `target_fill(incremental=True)` can take the
+        O(delta) path: a watermarked base fill exists and the store is
+        present to stream deltas from."""
+        stamp = self._read_fill_stamp()
+        return (stamp is not None and stamp["watermark"] is not None
+                and self.filled_dir.is_dir() and self.ids_path.exists()
+                and self.store_path.exists())
+
     def delta_dirs(self) -> list[Path]:
         if not self.delta_root.is_dir():
             return []
@@ -334,15 +343,11 @@ class Driver:
         self.target_train(kmeans_iters=kmeans_iters)
         fp = self._data_fingerprint()
         stamp = self._read_fill_stamp()
-        base_ok = (stamp is not None and self.filled_dir.is_dir()
-                   and self.ids_path.exists())
         # the incremental path streams from the STORE, so it must be
         # consulted BEFORE the dump-fingerprint no-op: `astpu build &&
         # astpu index fill --incremental` has new store rows but an
         # unchanged dump
-        if (incremental and not force and base_ok
-                and stamp["watermark"] is not None
-                and self.store_path.exists()):
+        if incremental and not force and self.incremental_ready():
             import jax
 
             if jax.process_count() > 1:
@@ -350,7 +355,8 @@ class Driver:
                                "running a full fill")
             else:
                 return self._fill_delta(fp, stamp)
-        if not force and base_ok and stamp["fingerprint"] == fp:
+        if (not force and stamp is not None and self.filled_dir.is_dir()
+                and self.ids_path.exists() and stamp["fingerprint"] == fp):
             logger.info("fill: up to date")
             return False
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 import logging
 import queue
 import threading
+import time
 from concurrent.futures import Future
 
 logger = logging.getLogger(__name__)
@@ -80,8 +81,6 @@ class MicroBatcher:
 
     def _gather(self):
         """Block for the first request, then soak the window."""
-        import time
-
         first = self._q.get()
         if first is None:
             return None

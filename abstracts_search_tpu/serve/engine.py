@@ -106,9 +106,9 @@ class SearchEngine:
                     pq.read_table(ddir / "ids.parquet").column(0).to_pylist())
                 deltas.append((didx, dmap, dset))
             if deltas:
-                logger.info("engine: %d delta sub-index(es), %d rows total",
-                            len(deltas), sum(d[0].n for d in deltas))
                 total = sum(d[0].n for d in deltas)
+                logger.info("engine: %d delta sub-index(es), %d rows total",
+                            len(deltas), total)
                 if total > 20_000_000 or len(deltas) > 8:
                     logger.warning(
                         "engine: delta set is large (%d rows in %d "
