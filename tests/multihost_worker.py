@@ -82,11 +82,16 @@ def main() -> int:
     drv = Driver(cfg, root=droot, mesh=mesh)
     drv.target_fill(kmeans_iters=4)
     drv.target_tune(n_queries=32, k=5)
+    # incremental fill must refuse the delta path on a multi-controller
+    # runtime (it streams from a single host's store) and no-op here
+    # (up-to-date fingerprint) instead of crashing or building a delta
+    drv.target_fill(incremental=True)
     params = read_params(drv.params_path)
     (outdir / f"drv{pid}.json").write_text(json.dumps({
         "recall": params["achieved_recall"],
         "nprobe": params["nprobe"],
         "ids": drv.ids_path.exists(),
+        "deltas": len(drv.delta_dirs()),
     }))
     return 0
 

@@ -92,6 +92,7 @@ def test_two_process_fill_ownership(tmp_path):
     # bimodal virtual corpus covers that — tests/test_virtual.py)
     assert drv[0]["recall"] >= 0.45, drv
     assert drv[0]["ids"]    # single-writer ids.parquet landed
+    assert drv[0]["deltas"] == 0   # incremental refused the delta path
     downers = sorted(tmp_path.glob("drv/idx/index/lists/.owner_p*.json"))
     assert len(downers) == 2
     drows = [json.loads(p.read_text())["rows"] for p in downers]
