@@ -28,9 +28,10 @@ Two selection modes (measured on a v5e chip, 2M x 1024 bf16, k=10):
 - ``mode="fast"``: scores are bit-packed into sortable int32 keys with
   the low ``log2(chunk)`` mantissa bits replaced by the lane id, so each
   round is ONE max + one mask — value and index in a single reduction.
-  ~727 GB/s at k=10/chunk=4096 (1.5x exact). Cost: returned values are
-  truncated to ~12 mantissa bits (rel err <= 2^-12 ~ 2.4e-4, below the
-  bf16 input quantization already present) and near-ties may order
+  ~727 GB/s at k=10/chunk=4096 (1.5x exact). Cost: returned values keep
+  only ``23 - log2(chunk)`` mantissa bits (rel err <= 2^-(23-lane_bits);
+  at chunk=4096 that is 11 bits, rel err <= 2^-11 ~ 4.9e-4 — still below
+  the bf16 input quantization already present) and near-ties may order
   differently. Both impls ("pallas" and "xla") implement IDENTICAL
   fast-mode semantics, so cross-impl tests stay exact.
 
@@ -334,9 +335,10 @@ def streaming_topk(q, x, n_valid, k: int, *, chunk: int = 1024,
     scalar count of real rows. Returns (values [Q, k] f32, row indices
     [Q, k] i32). impl: "pallas" | "xla" | "auto" (pallas on TPU).
     mode: "exact" (bit-exact selection) | "fast" (packed-key selection,
-    ~1.5x faster at k~10; values truncated to ~12 mantissa bits and
-    near-ties may reorder — see module docstring). Both impls implement
-    identical fast-mode semantics.
+    ~1.5x faster at k~10; values keep 23 - log2(chunk) mantissa bits
+    (rel err <= 2^-11 at chunk=4096) and near-ties may reorder — see
+    module docstring). Both impls implement identical fast-mode
+    semantics.
     """
     if x.shape[0] % chunk != 0:
         raise ValueError(f"corpus rows {x.shape[0]} not a multiple of chunk {chunk}")

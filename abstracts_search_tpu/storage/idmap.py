@@ -45,6 +45,12 @@ class IdMap:
         self._cap = max(1, int(cache_groups))
         self._cache: OrderedDict[int, object] = OrderedDict()
         self._lock = threading.Lock()
+        # Arrow's parquet FileReader is NOT thread-safe: two handler
+        # threads missing on different row groups would race inside
+        # native code on the shared ParquetFile. A dedicated IO lock
+        # serializes reads (cache lookups keep their own lock above so
+        # hits never wait on a miss's disk read).
+        self._io_lock = threading.Lock()
 
     def __len__(self) -> int:
         return self._n
@@ -59,9 +65,13 @@ class IdMap:
             if col is not None:
                 self._cache.move_to_end(g)
                 return col
-        # read outside the lock: pyarrow releases the GIL and two threads
-        # double-reading the same group is harmless (last write wins)
-        col = self._pf.read_row_group(g, columns=["id"]).column("id").combine_chunks()
+        # read outside the cache lock (a hit never waits on a miss's disk
+        # read) but under the IO lock: the shared ParquetFile reader is
+        # not thread-safe. Double-reads of the same group after a race on
+        # the cache lookup are harmless (last write wins).
+        with self._io_lock:
+            col = (self._pf.read_row_group(g, columns=["id"])
+                   .column("id").combine_chunks())
         with self._lock:
             self._cache[g] = col
             self._cache.move_to_end(g)

@@ -58,6 +58,14 @@ class EmbeddingStore:
             with self.conn:
                 self.conn.execute(
                     "ALTER TABLE works ADD COLUMN rev INTEGER NOT NULL DEFAULT 0")
+        # Without this index the incremental-fill delta stream
+        # (WHERE rev >= ?) and count_since (rev > ?) walk every row's
+        # overflow pages (rev sits after the embedding BLOB) — an
+        # O(corpus) ~850 GB table scan at 207M rows, defeating the
+        # O(delta) sync. Created after the rev migration on purpose.
+        with self.conn:
+            self.conn.execute(
+                "CREATE INDEX IF NOT EXISTS works_rev ON works (rev)")
         # Bulk-ingest friendly pragmas; durability is provided by the
         # events/ stamp protocol above this layer, not by per-row fsync.
         self.conn.execute("PRAGMA journal_mode=WAL")

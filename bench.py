@@ -25,7 +25,7 @@ Q = 128
 K = 10
 # fast-mode packed-key selection at chunk=4096 runs the scan at ~727 of
 # the 819 GB/s HBM peak (the exact-mode fold was the bottleneck at 490
-# GB/s; values truncated to ~12 mantissa bits — ops/topk.py docstring)
+# GB/s; values keep 23-log2(4096)=11 mantissa bits — ops/topk.py docstring)
 CHUNK = 4096
 MODE = "fast"
 BASELINE_QPS = 12.0  # documented estimate, see module docstring
@@ -44,10 +44,11 @@ def main() -> None:
     def watchdog():
         if not done.wait(1200):
             print(json.dumps({
-                "metric": "exact flat IP search QPS",
+                "metric": "flat IP search QPS (fast selection)",
                 "value": 0.0,
                 "unit": "queries/sec/chip",
                 "vs_baseline": 0.0,
+                "mode": MODE,
                 "error": "device unreachable within 1200s (wedged chip/tunnel)",
             }), flush=True)
             os._exit(3)
@@ -107,11 +108,17 @@ def main() -> None:
     dt = (time.perf_counter() - t0 - rtt) / reps
 
     qps = Q / dt
+    # "fast selection" in the label: packed-key selection truncates
+    # returned values to 23 - log2(chunk) mantissa bits (near-ties may
+    # reorder), so this is NOT the exact-mode figure of BENCH_r01/r02 —
+    # label + mode field keep round-over-round numbers like-for-like.
     result = {
-        "metric": f"exact flat IP search QPS ({n}x{D} corpus, batch {Q}, k={K})",
+        "metric": (f"flat IP search QPS (fast selection; {n}x{D} corpus, "
+                   f"batch {Q}, k={K})"),
         "value": round(qps, 1),
         "unit": "queries/sec/chip",
         "vs_baseline": round(qps / BASELINE_QPS, 1),
+        "mode": MODE,
     }
     done.set()
     print(json.dumps(result))
