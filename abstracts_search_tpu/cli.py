@@ -174,6 +174,14 @@ def cmd_index(args, cfg):
         meta_path.write_text(_json.dumps(meta, indent=2))
         shutil.rmtree(old_dir)             # drop the backup last
         print(f"resegmented {src} to seg_size={args.seg_size}")
+    elif args.index_cmd == "compact":
+        # fold delta sub-indexes back into the base (re-dump + full
+        # refill); serving returns to one search dispatch and drops
+        # the per-delta RAM-resident id sets
+        if d.target_compact():
+            print(f"compacted into {d.filled_dir} (deltas folded)")
+        else:
+            print("no delta sub-indexes; nothing to compact")
     elif args.index_cmd == "clean":
         import shutil
 
@@ -331,7 +339,11 @@ def cmd_convert_model(args, cfg):
         cfg = cfg.replace(model_name=args.model)
     if args.identity_head:
         cfg = cfg.replace(identity_head=True)
-    convert_and_save(cfg, args.ckpt_dir)
+    report = convert_and_save(cfg, args.ckpt_dir, verify=args.verify)
+    if report is not None:
+        print(f"verified: min cosine {report['min_cosine']:.6f} over "
+              f"{report['texts']} texts x 2 modes"
+              + (" (+ prompt registry)" if report["prompt_checked"] else ""))
     print(f"converted {cfg.model_name} -> {args.ckpt_dir}")
     print(f"serve with ASTPU_CKPT={args.ckpt_dir} (torch no longer needed)")
 
@@ -392,12 +404,13 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("-B", "--build-dir", help="index artifact directory")
     sp.add_argument("--source", dest="data", help="data dir (clean)")
     isub = sp.add_subparsers(dest="index_cmd", required=True)
-    for name in ("train", "tune", "fill", "clean", "resegment"):
+    for name in ("train", "tune", "fill", "clean", "resegment", "compact"):
         ip = isub.add_parser(name)
-        if name not in ("clean", "resegment"):
+        if name not in ("clean", "resegment", "compact"):
             ip.add_argument("data", nargs="?")
-        if name == "resegment":
-            ip.add_argument("--seg-size", type=int, required=True)
+        if name in ("resegment", "compact"):
+            if name == "resegment":
+                ip.add_argument("--seg-size", type=int, required=True)
             ip.set_defaults(data=None)
         ip.add_argument("--force", action="store_true")
         ip.add_argument("--embedder", default="hash")
@@ -453,6 +466,11 @@ def make_parser() -> argparse.ArgumentParser:
                     help="allow an UNTRAINED identity MRL head when the "
                          "checkpoint ships none (embeddings will not match "
                          "the published model)")
+    sp.add_argument("--verify", action="store_true",
+                    help="first-run gate: check flax-vs-torch embedding "
+                         "parity (cosine >= 0.999 on probe texts, document "
+                         "+ prompted-query modes) and the prompt registry "
+                         "BEFORE writing the checkpoint")
     sp.set_defaults(fn=cmd_convert_model)
 
     sp = sub.add_parser("search", help="one-shot query against the index")

@@ -92,6 +92,15 @@ class Config:
     # HBM install ceiling — benchmarks/RESULTS.md round 3) at the cost
     # of more scan slots per probe; 256 is the production point
     index_seg_size: int = 256
+    # delta compaction policy: incremental fills accumulate delta
+    # sub-indexes (each adds a search fan-out round trip and a
+    # RAM-resident id set); when delta rows exceed this fraction of the
+    # base OR the delta count exceeds compact_max_deltas, the driver
+    # folds them back with a full re-dump + refill (auto_compact=False
+    # defers to an explicit `astpu index compact`)
+    compact_max_delta_frac: float = 0.10
+    compact_max_deltas: int = 4
+    auto_compact: bool = True
 
     # Ingest
     manifest_url: str = "https://openalex.s3.amazonaws.com/data/works/manifest"
@@ -120,6 +129,9 @@ _ENV_MAP = {
     "ASTPU_INDEX_STORAGE": ("index_storage", str),
     "ASTPU_INDEX_HOT_BYTES": ("index_hot_bytes", int),
     "ASTPU_INDEX_SEG_SIZE": ("index_seg_size", int),
+    "ASTPU_COMPACT_MAX_DELTA_FRAC": ("compact_max_delta_frac", float),
+    "ASTPU_COMPACT_MAX_DELTAS": ("compact_max_deltas", int),
+    "ASTPU_AUTO_COMPACT": ("auto_compact", lambda s: s not in ("", "0")),
     # Reference-compatible names (README.md:28,60)
     "SIDECARSEARCH_MODEL": ("model_name", str),
     "SIDECARSEARCH_TRUST_REMOTE_CODE": ("trust_remote_code", lambda s: s not in ("", "0")),

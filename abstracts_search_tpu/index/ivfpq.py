@@ -1351,7 +1351,9 @@ class IVFPQIndex:
         # swallowed everything) and a speculative shape exists, probe +
         # scan run as ONE fused program — one dispatch RPC instead of
         # two per batch (each is a full tunnel/PCIe round trip)
-        fused = key_spec is not None and (
+        # fuse_dispatch=False keeps the 2-dispatch (probe + speculative
+        # scan) path for A/B measurement of the fusion win
+        fused = getattr(self, "fuse_dispatch", True) and key_spec is not None and (
             self.storage == "device"
             or (self.storage == "hybrid"
                 and not getattr(self, "_has_cold", True))

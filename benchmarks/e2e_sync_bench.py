@@ -56,6 +56,9 @@ def _mk_snapshot(root: Path, dates_counts) -> str:
 
 
 def main() -> None:
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('e2e_sync_bench')  # wedge guard (VERDICT r3 #8)
     from abstracts_search_tpu.config import Config
     from abstracts_search_tpu.driver import Driver, read_ids_parquet
     from abstracts_search_tpu.serve.engine import SearchEngine

@@ -19,6 +19,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('embed_bench')  # wedge guard (VERDICT r3 #8)
     import jax
     import jax.numpy as jnp
 

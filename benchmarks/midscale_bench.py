@@ -12,6 +12,8 @@ Run: python benchmarks/midscale_bench.py  (real chip; ~15 min)
 """
 import sys, time
 sys.path.insert(0, "/root/repo")
+from abstracts_search_tpu.utils.watchdog import Watchdog
+_wd = Watchdog.for_benchmark("midscale_bench")  # wedge guard (VERDICT r3 #8)
 import numpy as np
 import jax, jax.numpy as jnp
 from abstracts_search_tpu.index.ivfpq import IVFPQIndex

@@ -36,6 +36,9 @@ FULL_N = 206_962_688  # the reference corpus size (= 1579 x 131072)
 
 
 def main() -> int:
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('prod_driver_bench')  # wedge guard (VERDICT r3 #8)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=FULL_N)
     ap.add_argument("--root", default="/tmp/astpu_prod207m")
@@ -53,6 +56,11 @@ def main() -> int:
     ap.add_argument("--chunk-rows", type=int, default=131_072)
     ap.add_argument("--clusters", type=int, default=65_536,
                     help="corpus mixture clusters (virtual.json)")
+    # adversarial corpus family (round-3 VERDICT next #3): shrink the
+    # macro-center spread and widen the query jitter so the optimal
+    # nprobe is corpus-driven, not recall-friendly by construction
+    ap.add_argument("--center-scale", type=float, default=1.0)
+    ap.add_argument("--query-noise", type=float, default=None)
     args = ap.parse_args()
 
     from abstracts_search_tpu.config import Config
@@ -67,6 +75,7 @@ def main() -> int:
         n=args.n, dim=args.dim, d_int=64, n_clusters=args.clusters, zipf=1.1,
         group_size=16, group_core=10, group_noise=0.05,
         group_noise_outer=0.5, seed=0, chunk_rows=args.chunk_rows,
+        center_scale=args.center_scale, query_noise=args.query_noise,
     )
     if not (data_dir / "virtual.json").exists():
         write_spec(data_dir, spec)
@@ -131,6 +140,7 @@ def main() -> int:
         "n": args.n, "lists": args.lists,
         "train_sample": min(args.train_sample, args.n),
         "pq": f"{args.pq_m}x{args.pq_nbits}", "storage": args.storage,
+        "center_scale": args.center_scale, "query_noise": args.query_noise,
         "wall_s": round(t_all, 1), "stages": report,
         "nprobe": nprobe, "recall_at_k": round(recall, 4), "k": k,
         "qps_batch": round(qps, 1), "batch": args.batch,

@@ -314,6 +314,9 @@ def phase_hostserve(args):
 
 
 def main():
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('scale8m_bench')  # wedge guard (VERDICT r3 #8)
     ap = argparse.ArgumentParser()
     ap.add_argument("--phase", choices=("build", "devserve", "hostserve"),
                     required=True)

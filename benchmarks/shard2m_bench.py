@@ -22,6 +22,9 @@ NQ = 256
 
 
 def main() -> None:
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    _wd = Watchdog.for_benchmark('shard2m_bench')  # wedge guard (VERDICT r3 #8)
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2_097_152)
     ap.add_argument("--seg", type=int, default=512)

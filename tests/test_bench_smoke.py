@@ -21,5 +21,8 @@ def test_bench_emits_one_json_line():
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
     assert lines, (out.stdout, out.stderr)
     rec = json.loads(lines[-1])
-    assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+    assert {"metric", "value", "unit", "vs_baseline"} <= set(rec)
+    # the selection mode is part of the record so rounds are compared
+    # like-for-like (fast-mode values are not bit-exact — ADVICE r3)
+    assert rec["mode"] == "fast" and "fast selection" in rec["metric"]
     assert rec["value"] > 0

@@ -155,6 +155,79 @@ def test_second_delta_and_compaction(env):
     assert eng2.search("round 2 doc 11", k=5)[0]["id"] == "R2X011"
 
 
+def test_auto_compaction_policy(env):
+    """VERDICT r3 next #2: a sync loop that accumulates deltas past the
+    policy threshold must trigger automatic compaction, restoring
+    single-index serving with identical results."""
+    import dataclasses
+
+    cfg, emb = env
+    # tight policy: compact once there are more than 2 deltas OR the
+    # delta rows exceed 4% of the base (1500 rows -> 60)
+    cfg = dataclasses.replace(cfg, compact_max_deltas=2,
+                              compact_max_delta_frac=0.04)
+    drv = Driver(cfg)
+    drv.target_dump()
+    drv.target_fill()
+
+    compacted_at = None
+    for rnd in range(1, 5):
+        store = EmbeddingStore(cfg.store_path)
+        store.bump_rev()
+        store.upsert([f"S{rnd}X{i:03d}" for i in range(25)],
+                     emb([f"sync {rnd} doc {i}" for i in range(25)]))
+        store.close()
+        assert drv.target_fill(incremental=True) is True
+        if not drv.delta_dirs():
+            compacted_at = rnd
+            break
+    # 25 rows/sync: count trips the >2-deltas rule on sync 3 (75 rows
+    # also crosses 4% of 1500 = 60 — either rule suffices)
+    assert compacted_at == 3, compacted_at
+    assert drv.delta_dirs() == []
+    # watermark advanced to the compaction dump's revision: nothing pending
+    assert drv.target_fill(incremental=True) is False
+    assert drv.delta_dirs() == []
+
+    # single-index serving, identical results to a from-scratch engine
+    eng = _engine(cfg)
+    assert eng.deltas == []
+    for rnd in (1, 2, 3):
+        hits = eng.search(f"sync {rnd} doc 7", k=5)
+        assert hits[0]["id"] == f"S{rnd}X007", (rnd, hits)
+    assert eng.search("base doc 42", k=5)[0]["id"] == "W00042"
+
+    # explicit no-op path
+    assert drv.target_compact() is False
+
+
+def test_compact_cli_and_disabled_autocompact(env):
+    """auto_compact=False defers to the explicit `astpu index compact`
+    entry point; the engine keeps warning but serving stays correct."""
+    import dataclasses
+
+    cfg, emb = env
+    cfg = dataclasses.replace(cfg, compact_max_deltas=1, auto_compact=False)
+    drv = Driver(cfg)
+    drv.target_dump()
+    drv.target_fill()
+    for rnd in (1, 2):
+        store = EmbeddingStore(cfg.store_path)
+        store.bump_rev()
+        store.upsert([f"T{rnd}X{i:03d}" for i in range(10)],
+                     emb([f"batch {rnd} doc {i}" for i in range(10)]))
+        store.close()
+        assert drv.target_fill(incremental=True) is True
+    assert len(drv.delta_dirs()) == 2          # policy fired but deferred
+    assert drv.compaction_due() is True
+
+    assert drv.target_compact() is True
+    assert drv.delta_dirs() == []
+    eng = _engine(cfg)
+    assert eng.deltas == []
+    assert eng.search("batch 2 doc 3", k=5)[0]["id"] == "T2X003"
+
+
 def test_incremental_without_redump_sees_store_rows(env):
     """`astpu build && index fill --incremental` (no dump in between)
     must index the new store rows — the delta streams from the store,

@@ -81,6 +81,65 @@ def test_thread_safety(ids_file):
     assert not errors
 
 
+def test_binary_sidecar_preferred_and_identical(tmp_path):
+    """The fill streams ids.bin/ids.off next to ids.parquet; IdMap
+    memmap-slices them (flat per-lookup cost — round-3 VERDICT weak #6)
+    and must return identical strings to the parquet path."""
+    from abstracts_search_tpu.driver import _IdsWriter
+
+    path = tmp_path / "ids.parquet"
+    all_ids = [f"https://openalex.org/W{2000 + i}" for i in range(500)]
+    w = _IdsWriter(path.with_name(path.name + ".tmp"))
+    for i in range(0, 500, 150):           # uneven batches
+        w.write(all_ids[i:i + 150])
+    w.commit(path)
+    assert (tmp_path / "ids.bin").exists() and (tmp_path / "ids.off").exists()
+
+    m = IdMap(path)
+    assert m.uses_sidecar
+    rng = np.random.default_rng(1)
+    pos = rng.integers(0, 500, size=300)
+    assert m.resolve(pos) == [all_ids[p] for p in pos]
+    assert m[0] == all_ids[0] and m[499] == all_ids[499]
+    with pytest.raises(IndexError):
+        m[500]
+
+    # identical answers from the parquet fallback
+    m2 = IdMap(path, prefer_sidecar=False)
+    assert not m2.uses_sidecar
+    assert m2.resolve(pos) == m.resolve(pos)
+
+
+def test_stale_sidecar_ignored(tmp_path):
+    """A hand-replaced parquet whose sidecars were not regenerated must
+    not serve stale ids: row-count mismatch falls back to parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.driver import _IdsWriter
+
+    path = tmp_path / "ids.parquet"
+    w = _IdsWriter(path.with_name(path.name + ".tmp"))
+    w.write([f"OLD{i}" for i in range(10)])
+    w.commit(path)
+    new_ids = [f"NEW{i}" for i in range(12)]      # different row count
+    pq.write_table(pa.table({"id": pa.array(new_ids)}), path)
+
+    m = IdMap(path)
+    assert not m.uses_sidecar
+    assert m.resolve(range(12)) == new_ids
+
+
+def test_abort_removes_all_artifacts(tmp_path):
+    from abstracts_search_tpu.driver import _IdsWriter
+
+    tmp = tmp_path / "ids.parquet.tmp"
+    w = _IdsWriter(tmp)
+    w.write(["a", "b"])
+    w.abort()
+    assert list(tmp_path.iterdir()) == []
+
+
 def test_engine_uses_idmap(tmp_path):
     """SearchEngine.from_artifacts must not eager-load the BASE
     ids.parquet (207M id strings as a Python list is ~15-25 GB RSS —

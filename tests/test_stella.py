@@ -120,3 +120,50 @@ def test_prompts_registry():
     assert PROMPTS["s2p_query"].startswith("Instruct: Given a web search query")
     assert PROMPTS["s2p_query"].endswith("Query: ")
     assert "s2s_query" in PROMPTS
+
+
+def test_verify_conversion_gate(torch_tiny, tmp_path):
+    """`convert-model --verify` (round-3 VERDICT next #5): the gate must
+    PASS on a faithful conversion of the tiny golden model and FAIL
+    loudly on a corrupted one — before any checkpoint is written."""
+    from abstracts_search_tpu.config import Config
+    from abstracts_search_tpu.models.embed import whitespace_tokenizer
+    from abstracts_search_tpu.models.registry import (
+        ConversionVerificationError,
+        verify_conversion,
+    )
+
+    torch, model = torch_tiny
+    scfg = StellaConfig.tiny()
+    dense_w = np.random.default_rng(5).standard_normal(
+        (scfg.mrl_dim, scfg.backbone.hidden_size)).astype(np.float32)
+    params = {"params": convert_stella(
+        model.state_dict(), scfg.backbone.num_layers, dense_w)}
+    cfg = Config(model_name="tiny-test", embed_dim=scfg.mrl_dim)
+    tok = whitespace_tokenizer(scfg.backbone.vocab_size)
+
+    report = verify_conversion(cfg, scfg, params, model, dense_w,
+                               tokenizer=tok)
+    assert report["min_cosine"] > 0.999
+    assert report["min_cosine_document"] > 0.999
+    assert report["min_cosine_query"] > 0.999
+
+    # corrupt the conversion (row-permuted MRL head — the transposed/
+    # misordered-kernel bug class): the gate must catch it
+    import copy
+
+    bad = copy.deepcopy(params)
+    k = bad["params"]["vector_linear"]["kernel"]
+    bad["params"]["vector_linear"]["kernel"] = k[::-1].copy()
+    with pytest.raises(ConversionVerificationError, match="cosine"):
+        verify_conversion(cfg, scfg, bad, model, dense_w, tokenizer=tok)
+
+    # prompt-registry drift: a snapshot dir publishing a DIFFERENT
+    # s2p_query prompt must fail the byte check
+    snap = tmp_path / "model"
+    snap.mkdir()
+    (snap / "config_sentence_transformers.json").write_text(
+        '{"prompts": {"s2p_query": "Different instruction\\nQuery: "}}')
+    cfg2 = Config(model_name=str(snap), embed_dim=scfg.mrl_dim)
+    with pytest.raises(ConversionVerificationError, match="prompt registry"):
+        verify_conversion(cfg2, scfg, params, model, dense_w, tokenizer=tok)

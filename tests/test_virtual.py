@@ -258,6 +258,62 @@ def test_holdout_queries_have_stable_topk(reader, corpus):
     assert d.min() > 1e-4
 
 
+def test_adversarial_family_needs_deeper_probing(tmp_path_factory):
+    """Round-3 VERDICT next #3: the overlapping-cluster/boundary-query
+    family must (a) keep the planted exact-top-k structure (recall stays
+    meaningful) and (b) make the tune stage pick a materially DEEPER
+    operating point than the separated family — evidence that the tuned
+    nprobe is corpus-driven, not an artifact of recall-friendly
+    structure the builder controls."""
+    from abstracts_search_tpu.index.ivf import IVFFlatIndex
+    from abstracts_search_tpu.index.tune import tune_index
+
+    # knob strength matters at this tiny scale: the query jitter is
+    # isotropic in dim=64 while the cluster structure lives in the
+    # d_int=16 subspace, so only ~sqrt(d_int/dim) = half of the jitter
+    # norm moves a query toward list boundaries — qn=1.2 (with outer
+    # widened to keep validate()'s qn < outer invariant) lands ~0.6 of
+    # in-subspace displacement, enough to drop nprobe=1 recall to ~0.70
+    # while the planted exact-top-core structure survives (23/24 stable)
+    families = {
+        "separated": {},
+        "overlapping": dict(center_scale=0.15, group_noise_outer=1.5,
+                            query_noise=1.2),
+    }
+    chosen = {}
+    for fam, extra in families.items():
+        d = tmp_path_factory.mktemp(fam)
+        write_spec(d, VirtualSpec(**{**SPEC, **extra}))
+        r = VirtualShardReader(d, mesh=build_mesh())
+        _, x = r.read_all()
+
+        # invariant: exact top-core set is still the planted core set
+        G, C = SPEC["group_size"], SPEC["group_core"]
+        q = r.holdout_queries(24, seed=9)
+        sims = q @ x.T
+        stable = sum(
+            set(np.argsort(-sims[i])[:C])
+            == set(range((int(np.argsort(-sims[i])[0]) // G) * G,
+                         (int(np.argsort(-sims[i])[0]) // G) * G + C))
+            for i in range(len(q)))
+        assert stable >= 21, (fam, stable)   # >= ~90% of queries
+
+        idx = IVFFlatIndex(32, mesh=build_mesh(), seg_size=32, chunk=256,
+                           seed=0)
+        idx.train(x, iters=8)
+        idx.fill(x)
+        chosen[fam] = tune_index(
+            idx, r, n_queries=48, k=C, target_recall=0.95,
+            nprobes=(1, 2, 4, 8, 16, 32), timing_reps=1)
+
+    # the adversarial family demands deeper probing at the same target
+    assert (chosen["overlapping"]["nprobe"]
+            > chosen["separated"]["nprobe"]), chosen
+    # and both reach the target via the oracle (no max-recall fallback)
+    for fam in families:
+        assert chosen[fam]["achieved_recall"] >= 0.95, (fam, chosen[fam])
+
+
 def test_driver_oracle_precompute_and_index_reuse(tmp_path, vdir, monkeypatch):
     """target_all computes the tune oracle BEFORE fill installs lists on
     device (at 207M the corpus-streaming oracle must not coexist with
