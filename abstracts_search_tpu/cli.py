@@ -174,6 +174,16 @@ def cmd_index(args, cfg):
         meta_path.write_text(_json.dumps(meta, indent=2))
         shutil.rmtree(old_dir)             # drop the backup last
         print(f"resegmented {src} to seg_size={args.seg_size}")
+    elif args.index_cmd == "sidecar":
+        # backfill ids.bin/ids.off for artifacts filled before the
+        # sidecar writer existed (new fills stream them inline)
+        from .storage.idmap import build_sidecar
+
+        targets = [d.ids_path] + [dd / "ids.parquet" for dd in d.delta_dirs()]
+        for t in targets:
+            if t.exists():
+                b, _ = build_sidecar(t, force=args.force)
+                print(f"sidecar ready: {b}")
     elif args.index_cmd == "compact":
         # fold delta sub-indexes back into the base (re-dump + full
         # refill); serving returns to one search dispatch and drops
@@ -404,11 +414,12 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("-B", "--build-dir", help="index artifact directory")
     sp.add_argument("--source", dest="data", help="data dir (clean)")
     isub = sp.add_subparsers(dest="index_cmd", required=True)
-    for name in ("train", "tune", "fill", "clean", "resegment", "compact"):
+    for name in ("train", "tune", "fill", "clean", "resegment", "compact",
+                 "sidecar"):
         ip = isub.add_parser(name)
-        if name not in ("clean", "resegment", "compact"):
+        if name not in ("clean", "resegment", "compact", "sidecar"):
             ip.add_argument("data", nargs="?")
-        if name in ("resegment", "compact"):
+        if name in ("resegment", "compact", "sidecar"):
             if name == "resegment":
                 ip.add_argument("--seg-size", type=int, required=True)
             ip.set_defaults(data=None)

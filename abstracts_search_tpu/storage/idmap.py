@@ -150,3 +150,51 @@ class IdMap:
     def cached_groups(self) -> int:
         with self._lock:
             return len(self._cache)
+
+
+def build_sidecar(path: str | Path, *, force: bool = False
+                  ) -> tuple[Path, Path]:
+    """Backfill ``ids.bin``/``ids.off`` next to an existing ids.parquet.
+
+    New fills stream the sidecar inline (driver._IdsWriter); this covers
+    artifacts filled before the sidecar existed (`astpu index sidecar`).
+    Streams one row group at a time and writes the Arrow string column's
+    RAW offset/data buffers — no per-string Python decode — so a 207M
+    backfill is IO-bound. O(row group) memory; atomic tmp-then-rename.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = Path(path)
+    bin_p = path.with_name(path.stem + ".bin")
+    off_p = path.with_name(path.stem + ".off")
+    if not force and bin_p.exists() and off_p.exists():
+        return bin_p, off_p
+    pf = pq.ParquetFile(path)
+    bin_tmp = path.with_name(bin_p.name + ".tmp")
+    off_tmp = path.with_name(off_p.name + ".tmp")
+    pos = 0
+    with open(bin_tmp, "wb") as fb, open(off_tmp, "wb") as fo:
+        fo.write(np.uint64(0).tobytes())
+        for g in range(pf.metadata.num_row_groups):
+            arr = pf.read_row_group(g, columns=["id"]).column(0) \
+                .combine_chunks()
+            if arr.null_count:
+                raise ValueError(f"{path}: null id in row group {g}")
+            if pa.types.is_large_string(arr.type):
+                odt = np.int64
+            elif pa.types.is_string(arr.type):
+                odt = np.int32
+            else:
+                raise TypeError(f"{path}: id column is {arr.type}")
+            bufs = arr.buffers()          # [validity, offsets, data]
+            offs = np.frombuffer(bufs[1], dtype=odt)[
+                arr.offset:arr.offset + len(arr) + 1]
+            data = np.frombuffer(bufs[2], dtype=np.uint8)
+            fb.write(data[int(offs[0]):int(offs[-1])].tobytes())
+            rel = offs[1:].astype(np.uint64) - np.uint64(int(offs[0]))
+            fo.write((np.uint64(pos) + rel).tobytes())
+            pos += int(rel[-1])
+    bin_tmp.replace(bin_p)
+    off_tmp.replace(off_p)
+    return bin_p, off_p

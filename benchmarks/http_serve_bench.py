@@ -43,7 +43,7 @@ def _free_port() -> int:
 def _get(port: int, q: str, k: int = 10) -> dict:
     with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/search?q={urllib.parse.quote(q)}&k={k}",
-            timeout=120) as r:
+            timeout=600) as r:
         return json.loads(r.read())
 
 
@@ -84,6 +84,18 @@ def main() -> int:
     out = {"n": engine.index.n, "nprobe": engine.nprobe,
            "storage": engine.index.storage, "startup_s": round(t_start, 1),
            "clients": args.clients}
+
+    # pre-compile every program shape this run will hit (the pow-2
+    # micro-batch buckets up to max_batch, plus the POST bulk batch):
+    # at 207M each first compile is minutes through the tunnel and
+    # would otherwise land inside — and dominate — the measured window
+    t0 = time.time()
+    for b in (1, 2, 4, 8, 16, 32, 64, 256):
+        engine.search_batch([f"warm shape {b} q{i}" for i in range(b)],
+                            k=args.k)
+        print(f"[http] shape {b} warm at {time.time() - t0:.0f} s",
+              flush=True)
+    out["shape_warmup_s"] = round(time.time() - t0, 1)
 
     for label, micro in (("micro_batch", True), ("no_batch", False)):
         batcher = MicroBatcher(engine) if micro else None

@@ -155,3 +155,47 @@ def test_engine_uses_idmap(tmp_path):
     for line in src.splitlines():
         if "to_pylist" in line:
             assert "ddir" in line, f"eager id load outside the delta path: {line}"
+
+
+def test_build_sidecar_backfill(ids_file, tmp_path):
+    """`astpu index sidecar`: backfilling ids.bin/ids.off from an
+    existing (pre-sidecar) ids.parquet yields byte-identical resolution
+    to the parquet path — unicode ids included — and is idempotent."""
+    import shutil
+
+    from abstracts_search_tpu.storage.idmap import build_sidecar
+
+    src, all_ids = ids_file
+    path = tmp_path / "ids.parquet"
+    shutil.copy(src, path)
+
+    m0 = IdMap(path)
+    assert not m0.uses_sidecar
+    b, o = build_sidecar(path)
+    assert b.exists() and o.exists()
+    m1 = IdMap(path)
+    assert m1.uses_sidecar
+    pos = np.random.default_rng(3).integers(0, len(all_ids), size=300)
+    assert m1.resolve(pos) == [all_ids[p] for p in pos]
+    # idempotent: a second call without force is a no-op (same mtime)
+    t = b.stat().st_mtime_ns
+    build_sidecar(path)
+    assert b.stat().st_mtime_ns == t
+
+
+def test_build_sidecar_unicode_and_large_groups(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.storage.idmap import build_sidecar
+
+    path = tmp_path / "ids.parquet"
+    ids = [f"W{i}-ångström-测量" for i in range(257)]
+    schema = pa.schema([pa.field("id", pa.string())])
+    with pq.ParquetWriter(path, schema) as w:
+        w.write_table(pa.table({"id": pa.array(ids[:100])}))
+        w.write_table(pa.table({"id": pa.array(ids[100:])}))
+    build_sidecar(path)
+    m = IdMap(path)
+    assert m.uses_sidecar
+    assert [m[i] for i in range(257)] == ids
