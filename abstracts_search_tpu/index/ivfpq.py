@@ -1301,6 +1301,11 @@ class IVFPQIndex:
     # slots rather than queries x probes: segment size halves double
     # the slots per probed list). 80k slots x 12 B = 0.96 MB.
     SCAN_BUCKET_MAX = 80_000
+    # batches at or below this size get speculative-shape headroom
+    # (latency-bound interactive traffic — see the `pad` block in
+    # search()); larger batches are throughput-bound and keep the
+    # exact 1.25x bucket ladder
+    SPEC_HEADROOM_MAX_QN = 64
 
     def search(self, queries: np.ndarray, k: int, *, nprobe: int = 8):
         if self.packed is None:
@@ -1443,23 +1448,43 @@ class IVFPQIndex:
             va, pa = self.search(q[:half], k, nprobe=nprobe)
             vb, pb = self.search(q[half:], k, nprobe=nprobe)
             return np.concatenate([va, vb]), np.concatenate([pa, pb])
+        # interactive shapes (qn <= SPEC_HEADROOM_MAX_QN) dispatch
+        # misses/cold at one ladder rung of HEADROOM above the observed
+        # need: slot totals fluctuate batch-to-batch (zipf-skewed list
+        # sizes), and without headroom every new high-water mark
+        # compiles a fresh (bucket, maxcnt) program — a 5-15 s tail-
+        # latency spike per rung through the remote tunnel at 207M
+        # (measured: a 32-client micro-batched HTTP window spent itself
+        # entirely in rung compiles). The <=25% padded scan work is
+        # noise at small batch, where fixed dispatch costs dominate;
+        # throughput shapes (large qn, e.g. batch 256) keep the exact
+        # 1.25x ladder — padding there costs real QPS and compiles
+        # amortize over long windows.
+        pad = qn <= self.SPEC_HEADROOM_MAX_QN
         if hit:
             bucket, maxcnt = spec
         else:
             bucket, maxcnt = need_b, need_m
+            if pad:
+                up = bucket_size(need_b + 1)
+                if up <= self.SCAN_BUCKET_MAX:   # never pad past SMEM
+                    bucket = up
+                maxcnt = _next_pow2(2 * need_m)
             v, pos, stats_h = unpack(dispatch(bucket, maxcnt))
         # grow the speculative shape immediately; shrink only after a
         # window of searches sustained the smaller need (avoids
-        # flapping between adjacent ladder steps). Guarded by the
-        # compile lock: the threaded server mutates these dicts from
-        # concurrent requests (round-2 VERDICT weak #7).
+        # flapping between adjacent ladder steps; headroom'd keys never
+        # shrink — re-descending a rung would recompile on the next
+        # exceedance for a <=25% work saving on a latency-bound shape).
+        # Guarded by the compile lock: the threaded server mutates
+        # these dicts from concurrent requests (round-2 VERDICT weak #7).
         with self._compile_lock:
             spec_now = self._spec_shapes.get(key)
             if spec_now is None or need_b > spec_now[0] or need_m > spec_now[1]:
-                self._spec_shapes[key] = (max(need_b, spec_now[0] if spec_now else 0),
-                                          max(need_m, spec_now[1] if spec_now else 0))
+                self._spec_shapes[key] = (max(bucket, spec_now[0] if spec_now else 0),
+                                          max(maxcnt, spec_now[1] if spec_now else 0))
                 self._spec_window[key] = []
-            else:
+            elif not pad:
                 w = self._spec_window.setdefault(key, [])
                 w.append((need_b, need_m))
                 if len(w) >= 16:

@@ -321,3 +321,46 @@ def test_wide_merge_rounds_match_topk(rng, monkeypatch):
     v2, p2 = idx.search(q, 8, nprobe=4)
     np.testing.assert_array_equal(p1, p2)
     np.testing.assert_allclose(v1, v2, rtol=1e-6, atol=1e-7)
+
+
+def test_spec_headroom_small_batches(rng, monkeypatch):
+    """Interactive shapes (qn <= SPEC_HEADROOM_MAX_QN) record the
+    speculative scan shape one ladder rung ABOVE the observed need, so
+    batch-to-batch slot fluctuation rides one compiled program instead
+    of compiling a fresh rung per new high-water mark (a 5-15 s serving
+    tail spike each through the remote tunnel at production scale)."""
+    from abstracts_search_tpu.index.lists import bucket_size
+
+    n, d = 3000, 16
+    x = _normed(rng, n, d)
+    q = _queries_near(rng, x, 12, noise=0.05)
+    idx = IVFPQIndex(16, d, pq_m=4, pq_nbits=4, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128, seed=0,
+                     scan_impl="map")
+    idx.train(x, kmeans_iters=4, pq_iters=4)
+    idx.fill(x)
+
+    idx.search(q, 5, nprobe=4)
+    st = idx.last_scan_stats
+    key = (12, 4)
+    spec_b, spec_m = idx._spec_shapes[key]
+    # the dispatched cold shape already carries the headroom rung
+    assert spec_b == st["bucket"] and spec_m == st["maxcnt"]
+    # a fluctuation below the padded rung is a HIT (no new program)
+    idx.search(_queries_near(rng, x, 12, noise=0.05), 5, nprobe=4)
+    assert idx.last_scan_stats["spec"] == "hit"
+    # headroom'd keys never shrink
+    for _ in range(17):
+        idx.search(q, 5, nprobe=4)
+    assert idx._spec_shapes[key] == (spec_b, spec_m)
+
+    # throughput shapes (qn > threshold) keep the exact ladder
+    monkeypatch.setattr(IVFPQIndex, "SPEC_HEADROOM_MAX_QN", 4)
+    idx2 = IVFPQIndex(16, d, pq_m=4, pq_nbits=4, use_opq=False,
+                      mesh=build_mesh(), seg_size=32, chunk=128, seed=0,
+                      scan_impl="map")
+    idx2.train(x, kmeans_iters=4, pq_iters=4)
+    idx2.fill(x)
+    idx2.search(q, 5, nprobe=4)
+    nb = idx2.last_scan_stats["bucket"]
+    assert idx2._spec_shapes[key][0] == nb == bucket_size(nb)
