@@ -744,10 +744,12 @@ class _IdsWriter:
         self._pos = 0
 
     def write(self, ids) -> None:
+        if not len(ids):
+            # no empty parquet row groups: they break downstream
+            # row-group streamers (build_sidecar) for zero benefit
+            return
         t = self._pa.table({"id": self._pa.array(ids, self._pa.string())})
         self._writer.write_table(t)
-        if not ids:
-            return
         encoded = [str(i).encode("utf-8") for i in ids]
         lens = np.fromiter((len(e) for e in encoded),
                            dtype=np.uint64, count=len(encoded))
@@ -763,11 +765,17 @@ class _IdsWriter:
 
     def commit(self, dst: Path) -> None:
         """Atomically move parquet + sidecars to their final names
-        (``<dst>``, ``<stem>.bin``, ``<stem>.off``)."""
+        (``<dst>``, ``<stem>.bin``, ``<stem>.off``).
+
+        Canonical parquet FIRST: a crash between renames then leaves a
+        new parquet beside missing/old sidecars, which IdMap rejects
+        (row-count guard + open-time spot-check); sidecars-first could
+        leave new sidecars beside an old same-row-count parquet and
+        serve mismatched ids silently (round-4 advisor finding)."""
         self.close()
+        self._path.replace(dst)
         self._bin_tmp.replace(dst.with_name(dst.stem + ".bin"))
         self._off_tmp.replace(dst.with_name(dst.stem + ".off"))
-        self._path.replace(dst)
 
     def abort(self) -> None:
         self.close()

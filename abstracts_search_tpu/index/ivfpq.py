@@ -1469,7 +1469,15 @@ class IVFPQIndex:
                 up = bucket_size(need_b + 1)
                 if up <= self.SCAN_BUCKET_MAX:   # never pad past SMEM
                     bucket = up
-                maxcnt = _next_pow2(2 * need_m)
+                    # widen the merge only alongside the bucket pad
+                    # (an SMEM-capped bucket must not compile a wider-
+                    # than-needed merge: round-4 advisor finding), and
+                    # never past the widest per-query slot count this
+                    # (nprobe, layout) can produce
+                    cap = max(1, int(max(
+                        np.sort(c)[-min(nprobe, len(c)):].sum()
+                        for c in self._seg_cnt_h)))
+                    maxcnt = _next_pow2(min(2 * need_m, cap))
             v, pos, stats_h = unpack(dispatch(bucket, maxcnt))
         # grow the speculative shape immediately; shrink only after a
         # window of searches sustained the smaller need (avoids

@@ -70,13 +70,22 @@ class IdMap:
         bin_p = self._path.with_name(self._path.stem + ".bin")
         off_p = self._path.with_name(self._path.stem + ".off")
         if prefer_sidecar and bin_p.exists() and off_p.exists():
+            import logging
+
             offs = np.memmap(off_p, dtype=np.uint64, mode="r")
             if len(offs) == self._n + 1:
                 self._offs = offs
                 self._blob = np.memmap(bin_p, dtype=np.uint8, mode="r")
+                # Row counts alone can't catch a same-row-count parquet
+                # replacement next to stale sidecars; spot-check a few
+                # sidecar-sliced ids against the canonical parquet (≤3
+                # row-group decodes, open-time only).
+                if self._n and not self._sidecar_spot_check():
+                    logging.getLogger(__name__).warning(
+                        "idmap: sidecar %s disagrees with parquet rows"
+                        " — ignoring it (stale?)", off_p)
+                    self._offs = self._blob = None
             else:
-                import logging
-
                 logging.getLogger(__name__).warning(
                     "idmap: sidecar %s has %d offsets for %d parquet rows"
                     " — ignoring it (stale?)", off_p, len(offs) - 1, self._n)
@@ -111,6 +120,15 @@ class IdMap:
             while len(self._cache) > self._cap:
                 self._cache.popitem(last=False)
         return col
+
+    def _sidecar_spot_check(self) -> bool:
+        """Sidecar-sliced ids must match parquet rows at 0, n//2, n-1."""
+        for pos in sorted({0, self._n // 2, self._n - 1}):
+            g = self._group_of(pos)
+            want = self._group(g)[pos - int(self._starts[g])].as_py()
+            if self._sidecar_get(pos) != want:
+                return False
+        return True
 
     def _sidecar_get(self, pos: int) -> str:
         a, b = int(self._offs[pos]), int(self._offs[pos + 1])
@@ -179,6 +197,8 @@ def build_sidecar(path: str | Path, *, force: bool = False
         for g in range(pf.metadata.num_row_groups):
             arr = pf.read_row_group(g, columns=["id"]).column(0) \
                 .combine_chunks()
+            if len(arr) == 0:
+                continue            # zero-row group: nothing to append
             if arr.null_count:
                 raise ValueError(f"{path}: null id in row group {g}")
             if pa.types.is_large_string(arr.type):

@@ -73,9 +73,22 @@ class Watchdog:
         progress (kmeans iterations, fill chunks, stage timers), so a
         live run beats continuously while a wedged tunnel goes silent.
         The deadline then bounds the longest legitimately-silent gap
-        (~12 min for a first 207M-scale compile through the tunnel)."""
+        (~12 min for a first 207M-scale compile through the tunnel).
+
+        Records are filtered at the LOGGER before any handler runs, so a
+        process that never configured logging (root stays at WARNING)
+        would deliver zero INFO beats and the deadline would become
+        absolute-from-start — hard-killing a healthy >timeout run with a
+        false "device unreachable" record (round-4 advisor finding).
+        Ensure INFO flows to handlers; our handler emits no output, so
+        this by itself prints nothing."""
+        root = logging.getLogger()
+        self._prev_root_level: int | None = None
+        if root.getEffectiveLevel() > logging.INFO:
+            self._prev_root_level = root.level
+            root.setLevel(logging.INFO)
         self._handler = _BeatHandler(self)
-        logging.getLogger().addHandler(self._handler)
+        root.addHandler(self._handler)
         return self
 
     @classmethod
@@ -93,6 +106,9 @@ class Watchdog:
         h = getattr(self, "_handler", None)
         if h is not None:
             logging.getLogger().removeHandler(h)
+        prev = getattr(self, "_prev_root_level", None)
+        if prev is not None:
+            logging.getLogger().setLevel(prev)
 
 
 class _BeatHandler(logging.Handler):

@@ -199,3 +199,64 @@ def test_build_sidecar_unicode_and_large_groups(tmp_path):
     m = IdMap(path)
     assert m.uses_sidecar
     assert [m[i] for i in range(257)] == ids
+
+
+def test_build_sidecar_skips_empty_row_groups(tmp_path):
+    """A zero-row row group (e.g. from an interrupted writer) must not
+    break the backfill (round-4 advisor: rel[-1] IndexError)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.storage.idmap import build_sidecar
+
+    path = tmp_path / "ids.parquet"
+    schema = pa.schema([pa.field("id", pa.string())])
+    with pq.ParquetWriter(path, schema) as w:
+        w.write_table(pa.table({"id": pa.array(["A", "B"])}))
+        w.write_table(pa.table({"id": pa.array([], pa.string())}))
+        w.write_table(pa.table({"id": pa.array(["C"])}))
+    build_sidecar(path)
+    m = IdMap(path)
+    assert m.uses_sidecar
+    assert [m[i] for i in range(3)] == ["A", "B", "C"]
+
+
+def test_ids_writer_skips_empty_batches(tmp_path):
+    """_IdsWriter.write([]) must not emit a zero-row parquet row group
+    (they break row-group streamers downstream)."""
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.driver import _IdsWriter
+
+    path = tmp_path / "ids.parquet"
+    w = _IdsWriter(path.with_name(path.name + ".tmp"))
+    w.write([])
+    w.write(["a", "b"])
+    w.write([])
+    w.commit(path)
+    pf = pq.ParquetFile(path)
+    assert all(pf.metadata.row_group(g).num_rows > 0
+               for g in range(pf.metadata.num_row_groups))
+    m = IdMap(path)
+    assert m.uses_sidecar and m.resolve([0, 1]) == ["a", "b"]
+
+
+def test_same_count_stale_sidecar_ignored(tmp_path):
+    """Row counts alone can't catch a same-row-count parquet replacement
+    beside stale sidecars; the open-time spot-check must reject it
+    (round-4 advisor: commit rename-order crash window)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.driver import _IdsWriter
+
+    path = tmp_path / "ids.parquet"
+    w = _IdsWriter(path.with_name(path.name + ".tmp"))
+    w.write([f"OLD{i}" for i in range(10)])
+    w.commit(path)
+    new_ids = [f"NEW{i}" for i in range(10)]       # SAME row count
+    pq.write_table(pa.table({"id": pa.array(new_ids)}), path)
+
+    m = IdMap(path)
+    assert not m.uses_sidecar
+    assert m.resolve(range(10)) == new_ids
