@@ -433,7 +433,11 @@ def make_parser() -> argparse.ArgumentParser:
             ip.set_defaults(incremental=False)
         if name == "train":
             ip.add_argument("-N", "--normalize", action="store_true",
-                            help="unit-sphere inner-product mode")
+                            help="unit-sphere inner-product mode (the "
+                                 "reference TRAINFLAGS always pass this; "
+                                 "without it the PQ index refuses loudly — "
+                                 "its ADC scan is IP-ranked, not L2. Exact "
+                                 "plain-L2 is available via IVFFlatIndex)")
             ip.add_argument("-c", "--centroids", type=int, default=None)
             ip.add_argument("--pq-m", type=int, default=None)
             ip.add_argument("--pq-nbits", type=int, default=None)
