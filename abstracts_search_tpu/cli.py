@@ -374,7 +374,8 @@ def cmd_serve(args, cfg):
     from .serve.app import run_server
 
     run_server(cfg, host=args.host, port=args.port, embedder=args.embedder,
-               micro_batch=not args.no_micro_batch)
+               micro_batch=not args.no_micro_batch,
+               micro_batch_workers=args.micro_batch_workers)
 
 
 # -- parser ------------------------------------------------------------------------------------
@@ -502,6 +503,9 @@ def make_parser() -> argparse.ArgumentParser:
     sp.add_argument("--embedder", default="auto")
     sp.add_argument("--no-micro-batch", action="store_true",
                     help="disable the concurrent-request gather window")
+    sp.add_argument("--micro-batch-workers", type=int, default=4,
+                    help="concurrent gather/dispatch workers (in-flight "
+                         "batches pipelining the device round trip)")
     sp.set_defaults(fn=cmd_serve)
 
     return p

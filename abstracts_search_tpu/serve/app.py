@@ -119,12 +119,13 @@ def make_handler(engine: SearchEngine, batcher=None):
 
 def run_server(cfg: Config, *, host: str = "127.0.0.1", port: int = 7860,
                embedder: str = "auto", engine: SearchEngine | None = None,
-               micro_batch: bool = True) -> None:
+               micro_batch: bool = True, micro_batch_workers: int = 4) -> None:
     from .batcher import MicroBatcher
 
     if engine is None:
         engine = SearchEngine.from_artifacts(cfg, index_dir=cfg.index_dir, embedder=embedder)
-    batcher = MicroBatcher(engine) if micro_batch else None
+    batcher = (MicroBatcher(engine, workers=micro_batch_workers)
+               if micro_batch else None)
     server = ThreadingHTTPServer((host, port), make_handler(engine, batcher))
     logger.info("serving on http://%s:%d%s", host, port,
                 " (micro-batching)" if micro_batch else "")

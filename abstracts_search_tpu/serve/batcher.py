@@ -16,6 +16,19 @@ copy); the encoder sees exactly the real texts — padding before the
 encode would re-run the expensive stella forward on duplicates
 (round-4 VERDICT weak #4).
 
+``workers`` gather/dispatch threads run concurrently so more than one
+batch is in flight on the device at a time: a single worker serializes
+batches, and through the remote tunnel each batch then eats a full
+dispatch+sync round trip of dead time — measured at 207M (round-4
+http_serve_report), one worker LOST to un-batched concurrent requests
+(43 vs 88 QPS) purely because 32 raw threads pipeline the RTT away.
+A gather mutex lets only ONE worker soak the window at a time, so
+folding is identical to the single-worker behavior; the dispatch runs
+outside the mutex, which is where the pipelining comes from. Each
+in-flight batch is independent (the engine's compile cache is
+lock-guarded, JAX dispatch is thread-safe — the same property the
+un-batched ThreadingHTTPServer path relies on).
+
 The reference's serving layer (`abstracts-index` app.py,
 /root/reference/README.md:28) runs one faiss query per request; this
 is a beyond-parity serving feature.
@@ -41,7 +54,7 @@ class MicroBatcher:
     searches. Thread-safe; requests block until their batch returns."""
 
     def __init__(self, engine, *, max_batch: int = 64,
-                 window_s: float = 0.005):
+                 window_s: float = 0.005, workers: int = 4):
         self.engine = engine
         self.max_batch = max_batch
         self.window_s = window_s
@@ -49,9 +62,18 @@ class MicroBatcher:
         self._q: queue.Queue = queue.Queue()
         self._closed = False
         self._lock = threading.Lock()
-        self._thread = threading.Thread(
-            target=self._loop, name="astpu-microbatch", daemon=True)
-        self._thread.start()
+        self._stats_lock = threading.Lock()
+        # one worker soaks the gather window at a time, so folding is
+        # exactly the single-worker behavior; dispatch happens OUTSIDE
+        # this lock, which is where the pipelining comes from
+        self._gather_lock = threading.Lock()
+        self._threads = [
+            threading.Thread(target=self._loop,
+                             name=f"astpu-microbatch-{i}", daemon=True)
+            for i in range(max(1, workers))
+        ]
+        for t in self._threads:
+            t.start()
 
     def search(self, query: str, k: int = 10):
         fut: Future = Future()
@@ -69,8 +91,9 @@ class MicroBatcher:
             if self._closed:
                 return
             self._closed = True
-            self._q.put(None)
-        self._thread.join(timeout=5)
+            self._q.put(None)  # workers re-post it for each other
+        for t in self._threads:
+            t.join(timeout=5)
         # fail anything that was queued behind the sentinel
         while True:
             try:
@@ -86,6 +109,7 @@ class MicroBatcher:
         """Block for the first request, then soak the window."""
         first = self._q.get()
         if first is None:
+            self._q.put(None)  # propagate shutdown to sibling workers
             return None
         batch = [first]
         deadline = time.monotonic() + self.window_s
@@ -105,7 +129,8 @@ class MicroBatcher:
 
     def _loop(self) -> None:
         while True:
-            batch = self._gather()
+            with self._gather_lock:
+                batch = self._gather()
             if batch is None:
                 return
             texts = [t for t, _, _ in batch]
@@ -130,9 +155,10 @@ class MicroBatcher:
                 for _, _, fut in batch:
                     fut.set_exception(exc)
                 continue
-            self.stats["requests"] += len(batch)
-            self.stats["batches"] += 1
-            self.stats["max_batch_seen"] = max(
-                self.stats["max_batch_seen"], len(batch))
+            with self._stats_lock:
+                self.stats["requests"] += len(batch)
+                self.stats["batches"] += 1
+                self.stats["max_batch_seen"] = max(
+                    self.stats["max_batch_seen"], len(batch))
             for (_, k, fut), row in zip(batch, rows):
                 fut.set_result(row[:k])

@@ -108,8 +108,26 @@ def main() -> int:
               flush=True)
     out["shape_warmup_s"] = round(time.time() - t0, 1)
 
-    for label, micro in (("micro_batch", True), ("no_batch", False)):
-        batcher = MicroBatcher(engine) if micro else None
+    # engine-level qn=1 interactive latency (no HTTP layer): the fused
+    # single-dispatch path at the production geometry (VERDICT r4 #5 —
+    # the 33.7 ms one-RTT figure was measured at 8.4M)
+    lat = []
+    for i in range(30):
+        t0 = time.time()
+        engine.search_batch([f"interactive probe {i}"], k=args.k)
+        lat.append((time.time() - t0) * 1e3)
+    out["engine_qn1_ms_p50"] = round(float(np.median(lat)), 1)
+    out["engine_qn1_ms_p90"] = round(float(np.percentile(lat, 90)), 1)
+    print(f"[http] engine qn=1: p50 {out['engine_qn1_ms_p50']} ms, "
+          f"p90 {out['engine_qn1_ms_p90']} ms", flush=True)
+
+    # micro_batch = the default 4-worker pipelined batcher;
+    # micro_batch_w1 = the round-4 single-worker behavior (batches
+    # serialized -> dead RTT per batch), kept as the A/B baseline
+    for label, micro, workers in (("micro_batch", True, 4),
+                                  ("micro_batch_w1", True, 1),
+                                  ("no_batch", False, 0)):
+        batcher = MicroBatcher(engine, workers=workers) if micro else None
         server = ThreadingHTTPServer(
             ("127.0.0.1", _free_port()), make_handler(engine, batcher))
         port = server.server_address[1]
@@ -157,7 +175,7 @@ def main() -> int:
             out[f"{label}_concurrent_qps"] = round(qps, 1)
             out[f"{label}_requests"] = int(sum(counts))
             if micro and batcher is not None:
-                out["batcher_stats"] = dict(batcher.stats)
+                out[f"{label}_stats"] = dict(batcher.stats)
             print(f"[http] {label}: cold {cold_ms:.0f} ms, warm p50 "
                   f"{np.median(lat):.0f} ms, {args.clients}-client QPS "
                   f"{qps:.1f}", flush=True)

@@ -10,7 +10,15 @@ work here — override through jax.config instead (must happen before the
 first backend use).
 """
 
-import jax
+import os
+
+# zero-egress environment: make HF hub lookups fail fast instead of
+# hanging through connect timeouts (test_utils::test_registry_dispatch
+# measured 69 s waiting on huggingface.co before the offline fallback)
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
