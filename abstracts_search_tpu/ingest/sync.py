@@ -90,8 +90,14 @@ def ingest_partition(
     use_native_filter: bool = True,
     compressed: bool = True,
     buffer_bytes: int = 256 << 20,
+    stats: dict | None = None,
 ) -> int:
     """Stream one partition's part files end to end. Returns rows upserted.
+
+    ``stats``, when given, receives the overlap accounting this function
+    logs (``rows``, ``embed_s``, ``stall_s``) — benchmarks assert the
+    mbuffer-pipeline property (stall ~ 0) from it instead of scraping
+    log records.
 
     Mirrors the reference per-partition recipe (Makefile:58-65): all part
     files of the partition are one concatenated stream through the filter
@@ -167,6 +173,8 @@ def ingest_partition(
         "(download/filter hidden behind embed when stall ~ 0)",
         n, t_embed, t_stall,
     )
+    if stats is not None:
+        stats.update(rows=n, embed_s=t_embed, stall_s=t_stall)
     return n
 
 

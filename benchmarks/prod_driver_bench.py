@@ -61,6 +61,9 @@ def main() -> int:
     # nprobe is corpus-driven, not recall-friendly by construction
     ap.add_argument("--center-scale", type=float, default=1.0)
     ap.add_argument("--query-noise", type=float, default=None)
+    ap.add_argument("--group-noise-outer", type=float, default=0.5,
+                    help="widen alongside --query-noise (validate() "
+                         "requires query_noise < group_noise_outer)")
     args = ap.parse_args()
 
     from abstracts_search_tpu.config import Config
@@ -74,7 +77,8 @@ def main() -> int:
     spec = VirtualSpec(
         n=args.n, dim=args.dim, d_int=64, n_clusters=args.clusters, zipf=1.1,
         group_size=16, group_core=10, group_noise=0.05,
-        group_noise_outer=0.5, seed=0, chunk_rows=args.chunk_rows,
+        group_noise_outer=args.group_noise_outer, seed=0,
+        chunk_rows=args.chunk_rows,
         center_scale=args.center_scale, query_noise=args.query_noise,
     )
     if not (data_dir / "virtual.json").exists():
@@ -141,6 +145,7 @@ def main() -> int:
         "train_sample": min(args.train_sample, args.n),
         "pq": f"{args.pq_m}x{args.pq_nbits}", "storage": args.storage,
         "center_scale": args.center_scale, "query_noise": args.query_noise,
+        "group_noise_outer": args.group_noise_outer,
         "wall_s": round(t_all, 1), "stages": report,
         "nprobe": nprobe, "recall_at_k": round(recall, 4), "k": k,
         "qps_batch": round(qps, 1), "batch": args.batch,

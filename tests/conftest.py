@@ -18,6 +18,17 @@ import os
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
+# persistent XLA compilation cache: most of the suite's wall clock is
+# XLA-CPU compiles of distinct program shapes on this 1-core host, and
+# they repeat bit-identically run over run. Env vars (not config
+# updates) so subprocess tests — multihost workers, bench smoke,
+# graft-entry dryruns — share the same cache.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

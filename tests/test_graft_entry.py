@@ -21,4 +21,7 @@ def test_dryrun_multichip_8():
 
 
 def test_dryrun_multichip_2():
-    graft.dryrun_multichip(2)
+    # light mode: the point at non-8 counts is mesh-shape flexibility
+    # (hardcoded-8 bugs), not the production serve program the driver
+    # already validates at 8 — which costs ~30 s of extra compile
+    graft.dryrun_multichip(2, production_geometry=False)

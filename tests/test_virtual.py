@@ -326,6 +326,10 @@ def test_driver_oracle_precompute_and_index_reuse(tmp_path, vdir, monkeypatch):
 
     drv = _driver_for(tmp_path, vdir, ivf_centroids=32, train_sample=2048,
                       pq_m=16, pq_nbits=8, tune_sample=4096)
+    # align target_all's tune shapes with the (32, 5) the other driver
+    # tests compile, so this test rides the session's warm jit cache
+    # instead of compiling a fresh 256-query oracle + sweep (~30 s)
+    drv.TUNE_QUERIES, drv.TUNE_K = 32, 5
 
     oracle_at_fill = []
     orig_fill = drv.target_fill
