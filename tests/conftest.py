@@ -20,19 +20,29 @@ os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
 # persistent XLA compilation cache: most of the suite's wall clock is
 # XLA-CPU compiles of distinct program shapes on this 1-core host, and
-# they repeat bit-identically run over run. Env vars (not config
-# updates) so subprocess tests — multihost workers, bench smoke,
-# graft-entry dryruns — share the same cache.
-os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR",
-    str(__import__("pathlib").Path(__file__).parent / ".jax_cache"))
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+# they repeat bit-identically run over run (warm cache measured 2.2x on
+# the driver-pipeline tests). Env vars alone do NOT work for THIS
+# process: the axon sitecustomize imports jax at interpreter start, so
+# jax.config already materialized its env-var defaults before conftest
+# runs — set the env for subprocess tests (multihost workers, bench
+# smoke, graft-entry dryruns read it before their first jax import) AND
+# jax.config for the in-process suite. Threshold 0: driver pipelines
+# compile dozens of small sub-0.5s programs whose sum dominates.
+_cache_dir = str(__import__("pathlib").Path(__file__).parent / ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", float(
+    os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"]))
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", int(
+    os.environ["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"]))
 # XLA-CPU (oneDNN) downgrades DEFAULT-precision f32 matmuls; tests compare
 # against exact numpy references, so force true f32 accumulation.
 jax.config.update("jax_default_matmul_precision", "highest")
