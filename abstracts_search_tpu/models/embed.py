@@ -9,9 +9,11 @@ data-parallel JAX forward:
   toy one),
 - padded into a small set of sequence-length *buckets* so XLA compiles
   one program per (bucket, batch) shape instead of one per input length,
-- batches are padded to a fixed batch size, replicated-weight /
-  batch-sharded over the mesh's ``shard`` axis, and run through
-  StellaEncoder,
+- batches are padded to a fixed batch size (or, with
+  ``batch_buckets=True``, to the next power of two — the serving mode:
+  a single interactive query then costs a 1-row forward, not a full
+  ``batch_size``-row one), replicated-weight / batch-sharded over the
+  mesh's ``shard`` axis, and run through StellaEncoder,
 - query texts get the ``s2p_query`` prompt prefix; corpus documents are
   embedded bare (reference README.md:28,60 contract).
 """
@@ -45,6 +47,7 @@ class EmbeddingPipeline:
         pad_id: int = 0,
         batch_size: int = 32,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
+        batch_buckets: bool = False,
         mesh=None,
         param_shardings=None,
     ):
@@ -53,6 +56,7 @@ class EmbeddingPipeline:
         self.pad_id = pad_id
         self.batch_size = batch_size
         self.buckets = tuple(sorted(buckets))
+        self.batch_buckets = batch_buckets
         self.mesh = mesh
         self.model = StellaEncoder(cfg)
         if mesh is not None:
@@ -83,6 +87,25 @@ class EmbeddingPipeline:
                 return b
         return self.buckets[-1]
 
+    def _batch_pad(self, n: int) -> int:
+        """Rows the dispatched forward carries for a chunk of ``n`` texts.
+
+        Fixed ``batch_size`` by default (the bulk-build mode: every chunk
+        but the tail is full anyway). With ``batch_buckets`` the chunk
+        pads to the next power of two — at most ~2x padding, and a qn=1
+        interactive encode runs a 1-row forward instead of a
+        ``batch_size``-row one (a ~batch_size x FLOP cut on the serving
+        path). A mesh batch-shards rows over its ``shard`` axis, so the
+        bucket is floored at the device count for divisibility."""
+        if not self.batch_buckets:
+            return self.batch_size
+        b = 1
+        while b < n:
+            b <<= 1
+        if self.mesh is not None:
+            b = max(b, self.mesh.size)
+        return min(b, self.batch_size)
+
     def _tokenize(self, texts: Sequence[str], prompt: str | None):
         prefix = PROMPTS[prompt] if prompt else ""
         toks = [list(self.tokenizer(prefix + t))[: self.buckets[-1]] for t in texts]
@@ -105,7 +128,7 @@ class EmbeddingPipeline:
             pos += self.batch_size
             bucket = self._bucket_for(max(len(toks[i]) for i in batch_idx))
 
-            bs = self.batch_size
+            bs = self._batch_pad(len(batch_idx))
             ids = np.full((bs, bucket), self.pad_id, np.int32)
             mask = np.zeros((bs, bucket), np.int32)
             for r, i in enumerate(batch_idx):

@@ -448,6 +448,10 @@ class StellaEmbedder:
             scfg, params, load_hf_tokenizer(cfg.model_name),
             batch_size=cfg.embed_batch, mesh=mesh,
             param_shardings=param_shardings,
+            # pow-2 batch buckets: a single interactive query encodes as
+            # a 1-row forward instead of a full embed_batch-row one
+            # (bulk-build chunks are full-size either way)
+            batch_buckets=True,
         )
         self.dim = cfg.embed_dim
 

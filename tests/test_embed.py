@@ -9,7 +9,7 @@ from abstracts_search_tpu.models.embed import EmbeddingPipeline, whitespace_toke
 from abstracts_search_tpu.parallel import build_mesh
 
 
-def _tiny_pipeline(mesh=None, batch_size=4):
+def _tiny_pipeline(mesh=None, batch_size=4, **kw):
     cfg = StellaConfig.tiny()
     model = StellaEncoder(cfg)
     rng = jax.random.key(0)
@@ -18,7 +18,7 @@ def _tiny_pipeline(mesh=None, batch_size=4):
     params = model.init(rng, ids, mask)
     return EmbeddingPipeline(
         cfg, params, whitespace_tokenizer(cfg.backbone.vocab_size),
-        batch_size=batch_size, buckets=(8, 16, 32), mesh=mesh,
+        batch_size=batch_size, buckets=(8, 16, 32), mesh=mesh, **kw,
     )
 
 
@@ -48,6 +48,35 @@ def test_embed_prompt_changes_embedding():
     prompted = p.embed_queries(["hello world"])
     # the s2p_query instruction prefix must flow into the tokens
     assert not np.allclose(plain, prompted)
+
+
+def test_embed_batch_buckets_match_fixed_batch():
+    """Pow-2 batch buckets (the serving mode) must be numerically
+    identical to the fixed-batch mode — padding rows are masked out of
+    the pooling either way."""
+    fixed = _tiny_pipeline(batch_size=8)
+    bucketed = _tiny_pipeline(batch_size=8, batch_buckets=True)
+    for texts in (["solo query"],                       # pads 1, not 8
+                  ["a b", "c d e", "f"],                # pads 4
+                  [f"doc {i} words here" for i in range(6)]):  # pads 8
+        np.testing.assert_allclose(bucketed(texts), fixed(texts), atol=1e-5)
+    # the dispatched row count is what the bucket says, not batch_size
+    assert bucketed._batch_pad(1) == 1
+    assert bucketed._batch_pad(3) == 4
+    assert bucketed._batch_pad(8) == 8
+    assert fixed._batch_pad(1) == 8
+
+
+def test_embed_batch_buckets_on_mesh_floor_at_device_count():
+    """On a mesh the batch bucket floors at the device count so the
+    shard-axis sharding stays divisible; results still match."""
+    mesh = build_mesh()
+    p = _tiny_pipeline(mesh=mesh, batch_size=16, batch_buckets=True)
+    assert p._batch_pad(1) == mesh.size
+    assert p._batch_pad(mesh.size + 1) == min(16, 2 * mesh.size)
+    ref = _tiny_pipeline(batch_size=16)
+    texts = ["just one interactive query"]
+    np.testing.assert_allclose(p(texts), ref(texts), atol=1e-5)
 
 
 def test_embed_on_mesh_matches_single_device():
