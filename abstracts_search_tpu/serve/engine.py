@@ -56,6 +56,8 @@ class SearchEngine:
         newer.append(acc)                              # for the base
         newer.reverse()                                # align to sources
         self._newer_sets = newer
+        # lazily-built executor for the base+delta concurrent fan-out
+        self._pool = None
 
     @classmethod
     def from_artifacts(
@@ -175,29 +177,50 @@ class SearchEngine:
     def _resolve(self, positions) -> list[str]:
         return self._resolve_with(self.ids, positions)
 
+    def _search_one_source(self, idx, ids, q, ks: int):
+        scores, pos = idx.search(q, min(ks, idx.n) if idx.n else 1,
+                                 nprobe=self.nprobe)
+        rows = [
+            [(float(s), int(p)) for s, p in zip(scores[qi], pos[qi])
+             if p >= 0]
+            for qi in range(len(q))
+        ]
+        flat = [p for row in rows for _, p in row]
+        names = self._resolve_with(ids, flat)
+        it = iter(names)
+        return [[(s, next(it)) for s, _ in row] for row in rows]
+
     def _search_ids(self, q, k: int) -> list[list[tuple[float, str]]]:
         """Fan out over base + delta sub-indexes and merge newest-wins:
         per query, a list of (score, id) of length <= k, score-sorted.
-        Without deltas this is exactly the base search + id resolve."""
+        Without deltas this is exactly the base search + id resolve.
+
+        Sub-index searches run CONCURRENTLY (they are thread-safe — the
+        micro-batcher already drives the same index from parallel
+        workers): each `idx.search` costs a dispatch + one host sync
+        round trip, and running base + deltas serially paid that RTT
+        per source (measured at 2M+65k: 132 -> 278 ms/batch — most of
+        the delta's cost was the second serialized round trip, not its
+        tiny scan). Threads pipeline the RTTs; device compute still
+        serializes, which is the small part for delta-sized scans."""
         sources = [(self.index, self.ids)] + [(d[0], d[1]) for d in self.deltas]
         # every source whose hits a NEWER delta can mask is overfetched
         # so the post-mask pool stays >= k; the newest source needs none
         kk = [k + self.DELTA_OVERFETCH] * len(sources)
         kk[-1] = k
-        per_source = []
-        for (idx, ids), ks in zip(sources, kk):
-            scores, pos = idx.search(q, min(ks, idx.n) if idx.n else 1,
-                                     nprobe=self.nprobe)
-            rows = [
-                [(float(s), int(p)) for s, p in zip(scores[qi], pos[qi])
-                 if p >= 0]
-                for qi in range(len(q))
-            ]
-            flat = [p for row in rows for _, p in row]
-            names = self._resolve_with(ids, flat)
-            it = iter(names)
-            per_source.append(
-                [[(s, next(it)) for s, _ in row] for row in rows])
+        if len(sources) == 1:
+            per_source = [self._search_one_source(
+                self.index, self.ids, q, kk[0])]
+        else:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._pool = ThreadPoolExecutor(
+                    max_workers=4, thread_name_prefix="astpu-delta-fan")
+            per_source = list(self._pool.map(
+                lambda src_ks: self._search_one_source(
+                    src_ks[0][0], src_ks[0][1], q, src_ks[1]),
+                zip(sources, kk)))
         # newer deltas supersede older sources BY ID (the newer delta
         # holds the row's current embedding), even when the superseded
         # hit out-scores everything — the stale vector must not serve

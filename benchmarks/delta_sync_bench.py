@@ -109,6 +109,7 @@ def main() -> int:
             warmup=False)
         if not deltas:
             eng.deltas = []
+            eng._newer_sets = [set()]  # masks pair with the delta set
         # warm + steady
         eng._search_ids(q, 10)
         eng._search_ids(q, 10)
