@@ -9,6 +9,7 @@ tuned nprobe -> positions -> OpenAlex IDs -> optional live hydration.
 from __future__ import annotations
 
 import logging
+import threading
 from pathlib import Path
 
 
@@ -57,7 +58,10 @@ class SearchEngine:
         newer.reverse()                                # align to sources
         self._newer_sets = newer
         # lazily-built executor for the base+delta concurrent fan-out
+        # (creation is lock-guarded: concurrent batcher workers race
+        # through _search_ids and must not each build an executor)
         self._pool = None
+        self._pool_lock = threading.Lock()
 
     @classmethod
     def from_artifacts(
@@ -212,11 +216,12 @@ class SearchEngine:
             per_source = [self._search_one_source(
                 self.index, self.ids, q, kk[0])]
         else:
-            if self._pool is None:
-                from concurrent.futures import ThreadPoolExecutor
+            with self._pool_lock:
+                if self._pool is None:
+                    from concurrent.futures import ThreadPoolExecutor
 
-                self._pool = ThreadPoolExecutor(
-                    max_workers=4, thread_name_prefix="astpu-delta-fan")
+                    self._pool = ThreadPoolExecutor(
+                        max_workers=4, thread_name_prefix="astpu-delta-fan")
             per_source = list(self._pool.map(
                 lambda src_ks: self._search_one_source(
                     src_ks[0][0], src_ks[0][1], q, src_ks[1]),
