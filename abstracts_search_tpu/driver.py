@@ -764,18 +764,24 @@ class _IdsWriter:
         self._off.close()
 
     def commit(self, dst: Path) -> None:
-        """Atomically move parquet + sidecars to their final names
-        (``<dst>``, ``<stem>.bin``, ``<stem>.off``).
+        """Move parquet + sidecars to their final names (``<dst>``,
+        ``<stem>.bin``, ``<stem>.off``), then write the binding meta
+        (``<stem>.sidecar.json``: parquet footer fingerprint) LAST.
 
-        Canonical parquet FIRST: a crash between renames then leaves a
-        new parquet beside missing/old sidecars, which IdMap rejects
-        (row-count guard + open-time spot-check); sidecars-first could
-        leave new sidecars beside an old same-row-count parquet and
-        serve mismatched ids silently (round-4 advisor finding)."""
+        Crash-safety: the meta is unlinked before the first rename and
+        rewritten only after all three land, so a crash anywhere in the
+        window leaves it absent — IdMap then refuses to pair the meta-
+        less sidecars with a parquet they disagree with (footer-seeded
+        probabilistic probe; round-4 advisor finding + round-5 review:
+        fixed positions alone could miss a same-row-count mismatch)."""
+        from .storage.idmap import sidecar_meta_path, write_sidecar_meta
+
         self.close()
+        sidecar_meta_path(dst).unlink(missing_ok=True)
         self._path.replace(dst)
         self._bin_tmp.replace(dst.with_name(dst.stem + ".bin"))
         self._off_tmp.replace(dst.with_name(dst.stem + ".off"))
+        write_sidecar_meta(dst)
 
     def abort(self) -> None:
         self.close()

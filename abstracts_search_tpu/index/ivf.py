@@ -177,10 +177,14 @@ class IVFFlatIndex:
 
         def probe(q, c):
             # plain-L2 probes nearest centroids via the bias trick,
-            # through the same kernel (round-4 VERDICT weak #6)
+            # through the same kernel (round-4 VERDICT weak #6) — in f32,
+            # since the ~||c||^2/2 bias magnitude would make bf16's
+            # quantization step swamp inter-centroid gaps (see
+            # KMeans._build_step's precision note)
             qq, cc = (q, c) if spherical else _l2_augment(q, c)
+            dt = jnp.bfloat16 if spherical else jnp.float32
             _, probes = streaming_topk(
-                qq.astype(jnp.bfloat16), cc.astype(jnp.bfloat16),
+                qq.astype(dt), cc.astype(dt),
                 jnp.int32(K), nprobe, chunk=chunk, impl=impl,
             )
             return probes

@@ -108,6 +108,7 @@ class IVFPQIndex:
         hot_budget_bytes: int = 1 << 30,
         pos_map: str = "auto",
         seed: int = 0,
+        _legacy_unnormalized: bool = False,
     ):
         self.n_lists = n_lists
         self.dim = dim
@@ -171,8 +172,13 @@ class IVFPQIndex:
         # reference pipeline always runs -N (README.md:60); exact plain-L2
         # is served by IVFFlatIndex (bias-augmented scan) instead.
         # (round-4 VERDICT weak #6: previously this silently assigned
-        # spherically while rows kept their norms.)
-        if not spherical:
+        # spherically while rows kept their norms.) Artifacts BUILT by
+        # that earlier behavior still open via load(), which passes
+        # _legacy_unnormalized — refusing them would brick a deployed
+        # index with a train-time message no rebuild-less action can fix
+        # (round-5 review finding); they keep exactly the semantics they
+        # were built and tuned with.
+        if not spherical and not _legacy_unnormalized:
             raise ValueError(
                 "IVFPQIndex requires normalize/-N (spherical) mode: its "
                 "ADC scan ranks by inner product, which is not L2 on "
@@ -881,6 +887,7 @@ class IVFPQIndex:
             self._dev_arrays = ()
             self._seg_start_h = packed.seg_start[None].astype(np.int64)  # [1, L]
             self._seg_cnt_h = packed.seg_cnt[None].astype(np.int64)
+            self._merge_cap_by_nprobe = {}
             self._cold_start_h = self._cold_cnt_h = None
         self._centroids_dev = global_put(self._padded_centroids(), self.mesh)
         self._pq_cent_dev = global_put(self.pq.centroids, self.mesh)
@@ -969,6 +976,28 @@ class IVFPQIndex:
         # host-side CSR per device, for the hybrid cold path + stats
         self._seg_start_h = shards.seg_start.astype(np.int64)  # [ndev, L]
         self._seg_cnt_h = shards.seg_cnt.astype(np.int64)
+        self._merge_cap_by_nprobe = {}
+
+    def _merge_width_cap(self, nprobe: int) -> int:
+        """Widest per-query slot count any query can produce at this
+        (nprobe, installed layout): max over devices of the sum of the
+        nprobe largest segment counts. Cached per nprobe — _seg_cnt_h is
+        static after install, and recomputing it (a partition over
+        ndev x 65,536 counts) on every speculative miss of the
+        interactive path costs host milliseconds comparable to the whole
+        ~33 ms tunnel round trip (round-5 review finding)."""
+        cache = getattr(self, "_merge_cap_by_nprobe", None)
+        if cache is None:
+            cache = self._merge_cap_by_nprobe = {}
+        cap = cache.get(nprobe)
+        if cap is None:
+            cap = 1
+            for c in self._seg_cnt_h:
+                m = min(nprobe, len(c))
+                top = c if m >= len(c) else np.partition(c, len(c) - m)[-m:]
+                cap = max(cap, int(top.sum()))
+            cache[nprobe] = cap
+        return cap
 
     def _padded_centroids(self) -> np.ndarray:
         k_pad = _round_up(self.n_lists, self.chunk)
@@ -1488,10 +1517,8 @@ class IVFPQIndex:
                     # than-needed merge: round-4 advisor finding), and
                     # never past the widest per-query slot count this
                     # (nprobe, layout) can produce
-                    cap = max(1, int(max(
-                        np.sort(c)[-min(nprobe, len(c)):].sum()
-                        for c in self._seg_cnt_h)))
-                    maxcnt = _next_pow2(min(2 * need_m, cap))
+                    maxcnt = _next_pow2(
+                        min(2 * need_m, self._merge_width_cap(nprobe)))
             v, pos, stats_h = unpack(dispatch(bucket, maxcnt))
         # grow the speculative shape immediately; shrink only after a
         # window of searches sustained the smaller need (avoids
@@ -1646,10 +1673,21 @@ class IVFPQIndex:
         the memmap without loading the corpus."""
         d = Path(directory)
         meta = json.loads((d / "meta.json").read_text())
+        if not meta["spherical"]:
+            # pre-round-5 builds accepted -N-absent and assigned
+            # spherically anyway; keep serving them with the semantics
+            # they were built/tuned with, but say so loudly — new
+            # TRAINS refuse this mode (see __init__)
+            logger.warning(
+                "%s was built without -N (pre-round-5 behavior: "
+                "spherical assignment over unnormalized rows). Serving "
+                "it unchanged; rebuild with -N, or use IVFFlatIndex "
+                "for true plain-L2.", d)
         idx = cls(
             meta["n_lists"], meta["dim"], pq_m=meta["pq_m"], pq_nbits=meta["pq_nbits"],
             use_opq=meta["use_opq"], mesh=mesh, seg_size=meta["seg_size"],
-            spherical=meta["spherical"], **kw,
+            spherical=meta["spherical"],
+            _legacy_unnormalized=not meta["spherical"], **kw,
         )
         idx.kmeans.centroids = np.load(d / "centroids.npy")
         idx.pq.centroids = np.load(d / "pq_centroids.npy")

@@ -122,12 +122,17 @@ class KMeans:
         def local_step(x, valid, c):
             # x: [rows_per_dev, D], valid: [rows_per_dev, 1] f32,
             # c: [k_pad, D] (padded centroids, rows >= k are garbage)
-            # assignment matmul in bf16 (f32 accumulate): halves the VMEM
-            # block footprint and doubles scan bandwidth; sums stay f32.
-            # plain-L2 mode rides the same kernel via bias augmentation.
+            # spherical assignment matmul runs bf16 (f32 accumulate):
+            # halves the VMEM block footprint and doubles scan bandwidth,
+            # and unit-norm scores in [-1,1] keep the quantization step
+            # ~2^-9. Plain-L2 rides the same kernel via bias augmentation
+            # but MUST stay f32: the bias magnitude is ~||c||^2/2, so a
+            # bf16 step (~magnitude/256) can exceed inter-centroid score
+            # gaps on high-norm data and silently corrupt assignments.
             xq, cq = (x, c) if spherical else _l2_augment(x, c)
+            dt = jnp.bfloat16 if spherical else jnp.float32
             v, idx = streaming_topk(
-                xq.astype(jnp.bfloat16), cq.astype(jnp.bfloat16),
+                xq.astype(dt), cq.astype(dt),
                 jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
             a = idx[:, 0]                                  # [b]
@@ -182,9 +187,11 @@ class KMeans:
         spherical = self.spherical
 
         def local_step(x, valid, c, sums_in, counts_in, obj_in):
+            # f32 in L2 mode: see _build_step's precision note
             xq, cq = (x, c) if spherical else _l2_augment(x, c)
+            dt = jnp.bfloat16 if spherical else jnp.float32
             v, idx = streaming_topk(
-                xq.astype(jnp.bfloat16), cq.astype(jnp.bfloat16),
+                xq.astype(dt), cq.astype(dt),
                 jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
             a = idx[:, 0]
@@ -370,9 +377,11 @@ class KMeans:
         replicate = jax.process_count() > 1
 
         def local(x, c):
+            # f32 in L2 mode: see _build_step's precision note
             xq, cq = (x, c) if spherical else _l2_augment(x, c)
+            dt = jnp.bfloat16 if spherical else jnp.float32
             v, idx = streaming_topk(
-                xq.astype(jnp.bfloat16), cq.astype(jnp.bfloat16),
+                xq.astype(dt), cq.astype(dt),
                 jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
             v, idx = v[:, 0], idx[:, 0]

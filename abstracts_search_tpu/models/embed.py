@@ -95,15 +95,18 @@ class EmbeddingPipeline:
         pads to the next power of two — at most ~2x padding, and a qn=1
         interactive encode runs a 1-row forward instead of a
         ``batch_size``-row one (a ~batch_size x FLOP cut on the serving
-        path). A mesh batch-shards rows over its ``shard`` axis, so the
-        bucket is floored at the device count for divisibility."""
+        path). A mesh batch-shards rows over its ``shard`` axis only, so
+        the bucket is floored at THAT axis's extent for divisibility —
+        not the whole device count: on a dp x tp mesh, flooring at
+        mesh.size would pad a qn=1 encode by the tp factor for nothing
+        (round-5 review finding)."""
         if not self.batch_buckets:
             return self.batch_size
         b = 1
         while b < n:
             b <<= 1
         if self.mesh is not None:
-            b = max(b, self.mesh.size)
+            b = max(b, self.mesh.shape[SHARD_AXIS])
         return min(b, self.batch_size)
 
     def _tokenize(self, texts: Sequence[str], prompt: str | None):

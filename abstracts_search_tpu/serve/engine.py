@@ -45,23 +45,35 @@ class SearchEngine:
         self.embedder = embedder
         self.nprobe = nprobe
         self.hydrator = hydrator
-        self.deltas = list(deltas)
-        # newest-wins masks, precomputed once (they depend only on the
-        # delta set; rebuilding them per request copies O(total delta
-        # ids) — a hot-path cost that would dwarf the device search)
-        newer = []
-        acc: set = set()
-        for _, _, dset in reversed(self.deltas):      # newest first
-            newer.append(acc)
-            acc = acc | dset
-        newer.append(acc)                              # for the base
-        newer.reverse()                                # align to sources
-        self._newer_sets = newer
+        self.deltas = list(deltas)  # property: also derives _newer_sets
         # lazily-built executor for the base+delta concurrent fan-out
         # (creation is lock-guarded: concurrent batcher workers race
         # through _search_ids and must not each build an executor)
         self._pool = None
         self._pool_lock = threading.Lock()
+
+    @property
+    def deltas(self):
+        return self._deltas
+
+    @deltas.setter
+    def deltas(self, value) -> None:
+        """Swapping the delta set (compaction folds it into the base;
+        benches drop it) must also rebuild the newest-wins masks, or
+        _search_ids would keep masking base hits against removed
+        deltas. Masks are precomputed here, not per request: rebuilding
+        them per query copies O(total delta ids) — a hot-path cost that
+        would dwarf the device search. Assign a new list to mutate
+        (``engine.deltas = [...]``); in-place append bypasses this."""
+        self._deltas = list(value)
+        newer: list[set] = []
+        acc: set = set()
+        for _, _, dset in reversed(self._deltas):      # newest first
+            newer.append(acc)
+            acc = acc | dset
+        newer.append(acc)                              # for the base
+        newer.reverse()                                # align to sources
+        self._newer_sets = newer
 
     @classmethod
     def from_artifacts(

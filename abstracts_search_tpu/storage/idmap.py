@@ -27,11 +27,47 @@ is not thread-safe); memmap slicing is lock-free.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import threading
 from collections import OrderedDict
 from pathlib import Path
 
 import numpy as np
+
+
+def _footer_fingerprint(path: str | Path) -> str:
+    """sha256 of the parquet footer (thrift metadata + length + magic).
+
+    The footer embeds every row group's data-page offsets, byte sizes
+    and column statistics, so any content change to the file changes
+    it — a cheap whole-file identity (KBs read) without hashing the
+    multi-GB data pages."""
+    with open(path, "rb") as f:
+        f.seek(-8, 2)
+        tail = f.read(8)
+        flen = int.from_bytes(tail[:4], "little")
+        f.seek(-(8 + flen), 2)
+        return hashlib.sha256(f.read(flen + 8)).hexdigest()
+
+
+def sidecar_meta_path(path: str | Path) -> Path:
+    path = Path(path)
+    return path.with_name(path.stem + ".sidecar.json")
+
+
+def write_sidecar_meta(path: str | Path) -> Path:
+    """Bind the sidecars to their parquet generation. Written LAST by
+    every producer (after parquet + .bin/.off are all at their final
+    names), so its presence + fingerprint match proves the commit
+    completed — the guard IdMap checks before trusting a sidecar."""
+    path = Path(path)
+    meta = {"parquet_footer_sha256": _footer_fingerprint(path)}
+    p = sidecar_meta_path(path)
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text(json.dumps(meta))
+    tmp.replace(p)
+    return p
 
 
 class IdMap:
@@ -76,13 +112,9 @@ class IdMap:
             if len(offs) == self._n + 1:
                 self._offs = offs
                 self._blob = np.memmap(bin_p, dtype=np.uint8, mode="r")
-                # Row counts alone can't catch a same-row-count parquet
-                # replacement next to stale sidecars; spot-check a few
-                # sidecar-sliced ids against the canonical parquet (≤3
-                # row-group decodes, open-time only).
-                if self._n and not self._sidecar_spot_check():
+                if self._n and not self._sidecar_fresh():
                     logging.getLogger(__name__).warning(
-                        "idmap: sidecar %s disagrees with parquet rows"
+                        "idmap: sidecar %s disagrees with parquet"
                         " — ignoring it (stale?)", off_p)
                     self._offs = self._blob = None
             else:
@@ -121,12 +153,41 @@ class IdMap:
                 self._cache.popitem(last=False)
         return col
 
-    def _sidecar_spot_check(self) -> bool:
-        """Sidecar-sliced ids must match parquet rows at 0, n//2, n-1."""
-        for pos in sorted({0, self._n // 2, self._n - 1}):
-            g = self._group_of(pos)
-            want = self._group(g)[pos - int(self._starts[g])].as_py()
-            if self._sidecar_get(pos) != want:
+    def _sidecar_fresh(self) -> bool:
+        """Is the sidecar pair safe to trust against this parquet?
+
+        Primary guard: the ``<stem>.sidecar.json`` binding meta, written
+        by every producer AFTER all three renames landed — presence +
+        parquet-footer-fingerprint match proves the commit completed, so
+        the trio is one consistent generation (a crash anywhere in the
+        commit window leaves the meta absent or pointing at the old
+        footer). One spot probe on top as belt-and-braces.
+
+        Legacy artifacts (no meta): probabilistic fallback — probe 16
+        positions chosen pseudo-randomly but deterministically (seeded
+        by the parquet footer fingerprint, so repeat opens agree). A
+        refill reorders nearly every position (lists repack), so a stale
+        sidecar is caught with near-certainty; only a same-row-count,
+        same-length, few-row in-place edit could slip through, which
+        `astpu index sidecar --force` closes."""
+        fp = _footer_fingerprint(self._path)
+        meta_p = sidecar_meta_path(self._path)
+        if meta_p.exists():
+            try:
+                meta = json.loads(meta_p.read_text())
+            except (OSError, ValueError):
+                meta = {}
+            if meta.get("parquet_footer_sha256") != fp:
+                return False
+            probes = [self._n - 1]
+        else:
+            rng = np.random.default_rng(int(fp[:16], 16))
+            probes = sorted({0, self._n - 1,
+                             *rng.integers(0, self._n, 14).tolist()})
+        for pos in probes:
+            g = self._group_of(int(pos))
+            want = self._group(g)[int(pos) - int(self._starts[g])].as_py()
+            if self._sidecar_get(int(pos)) != want:
                 return False
         return True
 
@@ -217,4 +278,5 @@ def build_sidecar(path: str | Path, *, force: bool = False
             pos += int(rel[-1])
     bin_tmp.replace(bin_p)
     off_tmp.replace(off_p)
+    write_sidecar_meta(path)  # binding meta last: presence ⇒ complete
     return bin_p, off_p

@@ -67,6 +67,7 @@ class Watchdog:
     def stop(self) -> None:
         self._done.set()
         self._beat.set()
+        self._detach_logging()
 
     def attach_to_logging(self) -> "Watchdog":
         """Re-arm on every log record: all long pipeline stages log
@@ -80,16 +81,40 @@ class Watchdog:
         would deliver zero INFO beats and the deadline would become
         absolute-from-start — hard-killing a healthy >timeout run with a
         false "device unreachable" record (round-4 advisor finding).
-        Ensure INFO flows to handlers; our handler emits no output, so
-        this by itself prints nothing."""
+        INFO must therefore flow to handlers — but without changing what
+        the process PRINTS: pre-existing root handlers that relied on
+        the old logger level for their threshold get that threshold set
+        explicitly before the logger level drops (round-5 review: bare
+        setLevel(INFO) made every package's INFO print on those
+        handlers for the rest of the process). ``stop()``/``__exit__``
+        restores both."""
         root = logging.getLogger()
         self._prev_root_level: int | None = None
-        if root.getEffectiveLevel() > logging.INFO:
+        self._handler_bumps: list[tuple[logging.Handler, int]] = []
+        eff = root.getEffectiveLevel()
+        if eff > logging.INFO:
             self._prev_root_level = root.level
+            for h in root.handlers:
+                if h.level < eff:
+                    self._handler_bumps.append((h, h.level))
+                    h.setLevel(eff)
             root.setLevel(logging.INFO)
         self._handler = _BeatHandler(self)
         root.addHandler(self._handler)
         return self
+
+    def _detach_logging(self) -> None:
+        h = getattr(self, "_handler", None)
+        if h is not None:
+            logging.getLogger().removeHandler(h)
+            self._handler = None
+        for hh, lvl in getattr(self, "_handler_bumps", []):
+            hh.setLevel(lvl)
+        self._handler_bumps = []
+        prev = getattr(self, "_prev_root_level", None)
+        if prev is not None:
+            logging.getLogger().setLevel(prev)
+            self._prev_root_level = None
 
     @classmethod
     def for_benchmark(cls, name: str, timeout_s: float = 1800.0) -> "Watchdog":
@@ -103,12 +128,6 @@ class Watchdog:
 
     def __exit__(self, *exc) -> None:
         self.stop()
-        h = getattr(self, "_handler", None)
-        if h is not None:
-            logging.getLogger().removeHandler(h)
-        prev = getattr(self, "_prev_root_level", None)
-        if prev is not None:
-            logging.getLogger().setLevel(prev)
 
 
 class _BeatHandler(logging.Handler):

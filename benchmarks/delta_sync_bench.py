@@ -108,8 +108,7 @@ def main() -> int:
             cfg, index_dir=cfg.index_dir, embedder="hash", hydrate=False,
             warmup=False)
         if not deltas:
-            eng.deltas = []
-            eng._newer_sets = [set()]  # masks pair with the delta set
+            eng.deltas = []  # property setter rebuilds newest-wins masks
         # warm + steady
         eng._search_ids(q, 10)
         eng._search_ids(q, 10)

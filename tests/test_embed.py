@@ -68,8 +68,12 @@ def test_embed_batch_buckets_match_fixed_batch():
 
 
 def test_embed_batch_buckets_on_mesh_floor_at_device_count():
-    """On a mesh the batch bucket floors at the device count so the
-    shard-axis sharding stays divisible; results still match."""
+    """On a mesh the batch bucket floors at the SHARD-axis extent (the
+    only axis rows are sharded over) so the sharding stays divisible —
+    NOT at mesh.size: on a dp x tp mesh that would pad a qn=1 encode by
+    the tp factor for nothing (round-5 review finding)."""
+    from abstracts_search_tpu.parallel.mesh import SHARD_AXIS
+
     mesh = build_mesh()
     p = _tiny_pipeline(mesh=mesh, batch_size=16, batch_buckets=True)
     assert p._batch_pad(1) == mesh.size
@@ -77,6 +81,14 @@ def test_embed_batch_buckets_on_mesh_floor_at_device_count():
     ref = _tiny_pipeline(batch_size=16)
     texts = ["just one interactive query"]
     np.testing.assert_allclose(p(texts), ref(texts), atol=1e-5)
+
+    tp_mesh = build_mesh(tp=4)                  # dp=2 x tp=4 on 8 devs
+    p_tp = _tiny_pipeline(mesh=tp_mesh, batch_size=16, batch_buckets=True)
+    dp = tp_mesh.shape[SHARD_AXIS]
+    assert dp == 2
+    assert p_tp._batch_pad(1) == dp             # 2-row forward, not 8
+    assert p_tp._batch_pad(dp + 1) == 2 * dp
+    np.testing.assert_allclose(p_tp(texts), ref(texts), atol=1e-5)
 
 
 def test_embed_on_mesh_matches_single_device():

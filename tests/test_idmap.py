@@ -130,6 +130,60 @@ def test_stale_sidecar_ignored(tmp_path):
     assert m.resolve(range(12)) == new_ids
 
 
+def test_same_rowcount_replacement_rejected_by_meta(tmp_path):
+    """Crash-between-renames window: a SAME-row-count parquet
+    replacement whose changes avoid the probe positions must still be
+    rejected. The binding meta (written last by commit) fingerprints the
+    parquet footer, so any replacement invalidates the sidecars even
+    when sampled ids happen to agree (round-5 review finding)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.driver import _IdsWriter
+
+    path = tmp_path / "ids.parquet"
+    old_ids = [f"https://openalex.org/W{i:04d}" for i in range(100)]
+    w = _IdsWriter(path.with_name(path.name + ".tmp"))
+    w.write(old_ids)
+    w.commit(path)
+    assert (tmp_path / "ids.sidecar.json").exists()
+
+    # same count, same lengths, only mid-range rows changed
+    new_ids = list(old_ids)
+    for i in range(10, 90):
+        new_ids[i] = new_ids[i][:-4] + f"X{i:03d}"
+    pq.write_table(pa.table({"id": pa.array(new_ids)}), path)
+
+    m = IdMap(path)
+    assert not m.uses_sidecar
+    assert m.resolve(range(100)) == new_ids
+
+
+def test_metaless_sidecar_probabilistic_probe(tmp_path):
+    """Legacy artifacts (no binding meta) fall back to a footer-seeded
+    multi-position probe: a consistent pair is trusted, a reordered
+    replacement is caught."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from abstracts_search_tpu.driver import _IdsWriter
+    from abstracts_search_tpu.storage.idmap import sidecar_meta_path
+
+    path = tmp_path / "ids.parquet"
+    ids = [f"https://openalex.org/W{i:04d}" for i in range(200)]
+    w = _IdsWriter(path.with_name(path.name + ".tmp"))
+    w.write(ids)
+    w.commit(path)
+    sidecar_meta_path(path).unlink()      # simulate a pre-meta artifact
+    assert IdMap(path).uses_sidecar       # consistent pair still trusted
+
+    # a refill-style reorder (most positions change) is caught
+    pq.write_table(pa.table({"id": pa.array(ids[::-1])}), path)
+    m = IdMap(path)
+    assert not m.uses_sidecar
+    assert m.resolve([0, 199]) == [ids[199], ids[0]]
+
+
 def test_abort_removes_all_artifacts(tmp_path):
     from abstracts_search_tpu.driver import _IdsWriter
 

@@ -224,6 +224,36 @@ def test_ivf_plain_l2_save_load(tmp_path, rng):
     np.testing.assert_allclose(v0, v1, rtol=1e-5)
 
 
+def test_ivf_plain_l2_partial_probe_high_norm(rng):
+    """Plain-L2 at PARTIAL nprobe on high-norm data: assignment and
+    probe both select through the ||c||^2/2 bias, whose magnitude
+    (~1.6e5 here) would swamp bf16's quantization step (~magnitude/256
+    > inter-centroid gaps) — the augmented matmuls must run f32
+    (round-5 review finding; the full-probe test above cannot see
+    mis-probes because every list is scanned)."""
+    n_lists, d, per = 16, 32, 128
+    centers = rng.standard_normal((n_lists, d)).astype(np.float32) * 20.0
+    centers += 100.0                      # ||c|| ~ 565: bias ~ -1.6e5
+    x = np.concatenate([
+        c + 0.5 * rng.standard_normal((per, d)).astype(np.float32)
+        for c in centers])
+    idx = IVFFlatIndex(n_lists, mesh=build_mesh(), spherical=False,
+                       seg_size=32, chunk=128, seed=0)
+    idx.train(x, iters=8)
+    idx.fill(x)
+
+    q = x[::per][:16] + 0.05 * rng.standard_normal((16, d)).astype(np.float32)
+    v, pos = idx.search(q, 10, nprobe=2)  # partial probe
+    d2 = ((q[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :10]
+    # clusters are well separated: a correct L2 probe finds the true
+    # NN's list, so recall@10 is ~1; a bf16-biased probe mis-ranks lists
+    hits = sum(len(set(pos[i].tolist()) & set(want[i].tolist()))
+               for i in range(16))
+    assert hits >= 0.95 * 16 * 10, f"recall@10 {hits / 160:.3f}"
+    np.testing.assert_array_equal(pos[:, 0], want[:, 0])
+
+
 def test_ivfpq_refuses_plain_l2():
     """IVFPQ's ADC scan is IP-ranked; without -N it must fail loudly
     (round-4 VERDICT weak #6), pointing at IVFFlatIndex."""
@@ -233,3 +263,39 @@ def test_ivfpq_refuses_plain_l2():
 
     with pytest.raises(ValueError, match="IVFFlatIndex"):
         IVFPQIndex(8, 16, spherical=False)
+
+
+def test_ivfpq_legacy_unnormalized_artifact_still_loads(tmp_path, caplog):
+    """An index BUILT by pre-round-5 code with -N absent (meta records
+    spherical=false) must still open — refusing at load would brick a
+    deployed artifact with a train-time message no rebuild-less action
+    can fix (round-5 review finding). It serves with the semantics it
+    was built/tuned with, plus a loud warning."""
+    import json
+    import logging
+
+    import pytest
+
+    from abstracts_search_tpu.index.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((512, 32)).astype(np.float32)
+    idx = IVFPQIndex(8, 32, pq_m=4, pq_nbits=8, use_opq=False,
+                     mesh=build_mesh(), seg_size=32, chunk=128)
+    idx.train(x, kmeans_iters=3, pq_iters=3)
+    idx.fill(x)
+    idx.save(tmp_path / "art")
+    meta_p = tmp_path / "art" / "meta.json"
+    meta = json.loads(meta_p.read_text())
+    meta["spherical"] = False             # what pre-round-5 builds wrote
+    meta_p.write_text(json.dumps(meta))
+
+    with caplog.at_level(logging.WARNING):
+        idx2 = IVFPQIndex.load(tmp_path / "art", mesh=build_mesh())
+    assert idx2.spherical is False
+    assert any("without -N" in r.message for r in caplog.records)
+    v, pos = idx2.search(x[:4], 5, nprobe=8)
+    assert pos.shape == (4, 5) and (pos >= 0).all()
+    # direct construction still refuses: only load() grandfathers
+    with pytest.raises(ValueError, match="IVFFlatIndex"):
+        IVFPQIndex(8, 32, spherical=False)

@@ -93,6 +93,42 @@ print("SURVIVED")
     assert "device unreachable" not in r.stdout
 
 
+def test_watchdog_does_not_leak_info_to_existing_handlers():
+    """attach_to_logging must get INFO beats flowing WITHOUT changing
+    what the process prints: a pre-existing handler whose threshold came
+    from the root logger's WARNING level must not start emitting INFO
+    records, and stop() must restore both levels (round-5 review: bare
+    setLevel(INFO) polluted stderr for the rest of the process)."""
+    import io
+    import logging
+
+    from abstracts_search_tpu.utils.watchdog import Watchdog
+
+    root = logging.getLogger()
+    prev_handlers, prev_level = root.handlers[:], root.level
+    stream = io.StringIO()
+    user_handler = logging.StreamHandler(stream)     # level NOTSET
+    try:
+        root.handlers[:] = [user_handler]
+        root.setLevel(logging.WARNING)
+
+        wd = Watchdog(timeout_s=60.0).start().attach_to_logging()
+        log = logging.getLogger("abstracts_search_tpu.test_leak")
+        log.info("beat record")
+        assert wd._beat.is_set()                     # the beat flowed
+        assert "beat record" not in stream.getvalue()  # but never printed
+        log.warning("warn record")
+        assert "warn record" in stream.getvalue()    # warnings unchanged
+
+        wd.stop()
+        assert root.level == logging.WARNING
+        assert user_handler.level == logging.NOTSET
+        assert root.handlers == [user_handler]       # beat handler removed
+    finally:
+        root.handlers[:] = prev_handlers
+        root.setLevel(prev_level)
+
+
 def test_watchdog_fires_when_silent(tmp_path):
     """And the converse: a silent (wedged) run still gets the honest
     failure record + hard exit."""
