@@ -401,6 +401,12 @@ class Driver:
         if not self.delta_dirs():
             logger.info("compact: no delta sub-indexes; nothing to do")
             return False
+        meta_p = self.empty_dir / "meta.json"
+        if meta_p.exists() and not json.loads(meta_p.read_text())["spherical"]:
+            raise ValueError(
+                "compact unavailable: the index was built without -N "
+                "(pre-round-5 legacy mode, serve-only). Rebuild with -N "
+                "(`astpu index clean && astpu all`).")
         s = self.delta_stats()
         logger.info("compact: folding %d delta sub-index(es), %d rows "
                     "(base %d rows)", s["n_deltas"], s["delta_rows"],
@@ -533,6 +539,14 @@ class Driver:
             new_w = store.sync_rev
 
             index = self._load_index(filled=False)
+            if not index.spherical:
+                # legacy -N-absent artifacts are serve-only (ivfpq
+                # _refuse_legacy_mutation); fail HERE with the remedy
+                # instead of mid-fill with the generic message
+                raise ValueError(
+                    "incremental fill unavailable: the index was built "
+                    "without -N (pre-round-5 legacy mode, serve-only). "
+                    "Rebuild with -N (`astpu index clean && astpu all`).")
             ordinal = len(self.delta_dirs())
             ddir = self.delta_root / f"{ordinal:04d}"
             (ddir / "index").mkdir(parents=True, exist_ok=True)

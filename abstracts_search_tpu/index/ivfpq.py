@@ -212,6 +212,19 @@ class IVFPQIndex:
 
         self._compile_lock = threading.Lock()
 
+    def _refuse_legacy_mutation(self, op: str) -> None:
+        """A legacy -N-absent artifact is grandfathered SERVE-ONLY:
+        load() admits it so deployed indexes keep working, but building
+        NEW data under the refused MIPS-on-unnormalized semantics must
+        hit the same loud error a fresh construction gets (round-5
+        review: the load escape hatch must not leak into train/fill)."""
+        if not self.spherical:
+            raise ValueError(
+                f"cannot {op}() a legacy non-spherical IVFPQIndex: this "
+                "mode is serve-only (search/save). Rebuild with -N, or "
+                "use IVFFlatIndex for exact plain-L2."
+            )
+
     def _cached_fn(self, key, builder):
         fn = self._search_cache.get(key)
         if fn is None:
@@ -262,6 +275,7 @@ class IVFPQIndex:
         (PQ_TRAIN_ROWS); the 65,536-centroid k-means — the part whose
         quality needs the full sample — streams a rotated memmap.
         """
+        self._refuse_legacy_mutation("train")
         self._rot_dev = None  # invalidate cached device train constants
         big = (
             hasattr(sample, "device_chunk")
@@ -606,6 +620,7 @@ class IVFPQIndex:
         """
         from ..utils import prefetch_iterator
 
+        self._refuse_legacy_mutation("fill")
         stream = prefetch_iterator(iter(chunks), depth=prefetch)
         multi = jax.process_count() > 1
 
@@ -675,6 +690,7 @@ class IVFPQIndex:
         device-side generator (benchmarks/scale8m_bench.py) or on
         another host of a multi-host build — this is the common spill +
         external-pack + install tail shared with `fill_stream`."""
+        self._refuse_legacy_mutation("fill")
         if not self.is_trained:
             raise RuntimeError("train() before fill()")
         if self.packed is not None:
@@ -1015,17 +1031,24 @@ class IVFPQIndex:
         not carry bf16 rounding."""
         chunk, impl, K = self.chunk, self.impl, self.n_lists
         m_pq, dsub = self.pq.m, self.pq.dsub
-        qr = jnp.dot(q, rot, preferred_element_type=jnp.float32)
+        qr = jnp.dot(q, rot, preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
         _, probes = streaming_topk(
             qr.astype(jnp.bfloat16), c.astype(jnp.bfloat16),
             jnp.int32(K), nprobe, chunk=chunk, impl=impl,
         )
+        # HIGHEST: XLA:TPU's DEFAULT would run these f32 einsums as bf16
+        # passes, exactly the rounding the docstring forbids (round-5
+        # review). Both are tiny next to the scan (Q x P x D and
+        # Q x M x ksub x dsub), so the multi-pass cost is noise.
         c_sel = jnp.take(c, probes.reshape(-1), axis=0).reshape(qn, nprobe, -1)
         bias = jnp.einsum("qpd,qd->qp", c_sel, qr,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32,
+                          precision=lax.Precision.HIGHEST)
         luts = jnp.einsum(
             "qmd,mkd->qmk", qr.reshape(qn, m_pq, dsub), pqc,
             preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
         )
         return probes, bias, luts
 

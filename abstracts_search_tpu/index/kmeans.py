@@ -69,6 +69,25 @@ def _l2_augment(x, c):
     return xa, ca
 
 
+def _assign_operands(x, c, spherical):
+    """Operands for the streaming_topk assignment/probe matmul — the
+    ONE place the metric-mode dtype invariant lives (round-5 review:
+    it was copy-pasted at four call sites).
+
+    Spherical rides bf16: unit-norm scores in [-1, 1] keep the
+    quantization step ~2^-9, and halving the operand bytes halves the
+    kernel's VMEM blocks / doubles scan bandwidth. Plain-L2 augments
+    (``_l2_augment``) and MUST stay f32: the appended ``-||c||^2/2``
+    bias has magnitude ~||c||^2/2, so a bf16 step (~magnitude/256) can
+    exceed inter-centroid score gaps on high-norm data and silently
+    corrupt assignments; streaming_topk requests HIGHEST matmul
+    precision for f32 operands so XLA:TPU cannot re-downgrade them."""
+    if spherical:
+        return x.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+    xa, ca = _l2_augment(x, c)
+    return xa.astype(jnp.float32), ca.astype(jnp.float32)
+
+
 class KMeans:
     """Spherical (``-N``) or plain-L2 k-means over a device mesh.
 
@@ -122,18 +141,10 @@ class KMeans:
         def local_step(x, valid, c):
             # x: [rows_per_dev, D], valid: [rows_per_dev, 1] f32,
             # c: [k_pad, D] (padded centroids, rows >= k are garbage)
-            # spherical assignment matmul runs bf16 (f32 accumulate):
-            # halves the VMEM block footprint and doubles scan bandwidth,
-            # and unit-norm scores in [-1,1] keep the quantization step
-            # ~2^-9. Plain-L2 rides the same kernel via bias augmentation
-            # but MUST stay f32: the bias magnitude is ~||c||^2/2, so a
-            # bf16 step (~magnitude/256) can exceed inter-centroid score
-            # gaps on high-norm data and silently corrupt assignments.
-            xq, cq = (x, c) if spherical else _l2_augment(x, c)
-            dt = jnp.bfloat16 if spherical else jnp.float32
+            # bf16 spherical / f32 bias-augmented L2 — see _assign_operands
+            xq, cq = _assign_operands(x, c, spherical)
             v, idx = streaming_topk(
-                xq.astype(dt), cq.astype(dt),
-                jnp.int32(k), 1, chunk=chunk, impl=impl,
+                xq, cq, jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
             a = idx[:, 0]                                  # [b]
             score = v[:, 0] * valid[:, 0]
@@ -148,7 +159,13 @@ class KMeans:
                 onehot = (
                     (a[:, None] - base) == lax.broadcasted_iota(jnp.int32, (1, oc), 1)
                 ).astype(jnp.float32) * valid              # [b, oc]
-                part = jnp.dot(onehot.T, xf, preferred_element_type=jnp.float32)
+                # L2 mode keeps the UPDATE half of Lloyd exact too:
+                # default precision would bf16-round xf inside the sum
+                # matmul on TPU (round-5 review). Spherical keeps the
+                # fast default — unit-norm data, recall chip-verified.
+                part = jnp.dot(
+                    onehot.T, xf, preferred_element_type=jnp.float32,
+                    precision=None if spherical else lax.Precision.HIGHEST)
                 cnt = jnp.sum(onehot, axis=0)
                 sums = lax.dynamic_update_slice_in_dim(sums, part, base, axis=0)
                 counts = lax.dynamic_update_slice_in_dim(counts, cnt, base, axis=0)
@@ -187,12 +204,9 @@ class KMeans:
         spherical = self.spherical
 
         def local_step(x, valid, c, sums_in, counts_in, obj_in):
-            # f32 in L2 mode: see _build_step's precision note
-            xq, cq = (x, c) if spherical else _l2_augment(x, c)
-            dt = jnp.bfloat16 if spherical else jnp.float32
+            xq, cq = _assign_operands(x, c, spherical)
             v, idx = streaming_topk(
-                xq.astype(dt), cq.astype(dt),
-                jnp.int32(k), 1, chunk=chunk, impl=impl,
+                xq, cq, jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
             a = idx[:, 0]
             score = v[:, 0] * valid[:, 0]
@@ -205,7 +219,13 @@ class KMeans:
                 onehot = (
                     (a[:, None] - base) == lax.broadcasted_iota(jnp.int32, (1, oc), 1)
                 ).astype(jnp.float32) * valid
-                part = jnp.dot(onehot.T, xf, preferred_element_type=jnp.float32)
+                # L2 mode keeps the UPDATE half of Lloyd exact too:
+                # default precision would bf16-round xf inside the sum
+                # matmul on TPU (round-5 review). Spherical keeps the
+                # fast default — unit-norm data, recall chip-verified.
+                part = jnp.dot(
+                    onehot.T, xf, preferred_element_type=jnp.float32,
+                    precision=None if spherical else lax.Precision.HIGHEST)
                 cnt = jnp.sum(onehot, axis=0)
                 sums = lax.dynamic_update_slice_in_dim(sums, part, base, axis=0)
                 counts = lax.dynamic_update_slice_in_dim(counts, cnt, base, axis=0)
@@ -377,12 +397,9 @@ class KMeans:
         replicate = jax.process_count() > 1
 
         def local(x, c):
-            # f32 in L2 mode: see _build_step's precision note
-            xq, cq = (x, c) if spherical else _l2_augment(x, c)
-            dt = jnp.bfloat16 if spherical else jnp.float32
+            xq, cq = _assign_operands(x, c, spherical)
             v, idx = streaming_topk(
-                xq.astype(dt), cq.astype(dt),
-                jnp.int32(k), 1, chunk=chunk, impl=impl,
+                xq, cq, jnp.int32(k), 1, chunk=chunk, impl=impl,
             )
             v, idx = v[:, 0], idx[:, 0]
             if replicate:

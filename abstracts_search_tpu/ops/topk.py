@@ -62,16 +62,31 @@ def _merge_topk(vals, idx, new_vals, new_idx, k):
     return top_v, top_i
 
 
+def _f32_precision(x):
+    """f32 operands must request HIGHEST matmul precision: XLA:TPU's
+    DEFAULT executes f32 dots as single-pass bf16 multiplies, which
+    would silently reintroduce the bf16 quantization the caller chose
+    f32 to escape (the plain-L2 ||c||^2/2 bias trick, the IVF-Flat
+    exact scan). bf16 operands pass None — HIGHEST is meaningless for
+    them and the spherical path keeps its bandwidth. Single-sourced
+    HERE so every streaming_topk impl honors the invariant (round-5
+    review findings; same precision class CLAUDE.md documents for
+    XLA-CPU oneDNN)."""
+    return lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
+
+
 def _topk_xla(q, x, n_valid, k, chunk):
     qf = q.astype(x.dtype)
     n_total, d = x.shape
     nchunks = n_total // chunk
     qn = q.shape[0]
     xs = x.reshape(nchunks, chunk, d)
+    prec = _f32_precision(x)
 
     def body(carry, inp):
         i, xc = inp
-        s = jnp.dot(qf, xc.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(qf, xc.T, preferred_element_type=jnp.float32,
+                    precision=prec)
         cols = i * chunk + lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
         s = jnp.where(cols < n_valid, s, NEG_INF)
         return _merge_topk(carry[0], carry[1], s, cols, k), None
@@ -93,10 +108,12 @@ def _topk_xla_fast(q, x, n_valid, k, chunk, lane_bits):
     nchunks = n_total // chunk
     qn = q.shape[0]
     xs = x.reshape(nchunks, chunk, d)
+    prec = _f32_precision(x)
 
     def body(carry, inp):
         i, xc = inp
-        s = jnp.dot(qf, xc.T, preferred_element_type=jnp.float32)
+        s = jnp.dot(qf, xc.T, preferred_element_type=jnp.float32,
+                    precision=prec)
         cols = lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
         s = jnp.where(i * chunk + cols < n_valid, s, FAST_SENTINEL)
         wk, _ = lax.top_k(_pack_keys(s, cols, lane_bits), k)
@@ -164,7 +181,8 @@ def _fold_exact(vals_s, idx_s, new_v, new_i, k, qn):
         idx_s[:] = oi
 
 
-def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *, k, chunk):
+def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s,
+                 idx_s, *, k, chunk, precision=None):
     # grid = (query tiles, corpus chunks); the chunk axis is minor, so for
     # one query tile all corpus chunks run sequentially and the VMEM
     # scratch legitimately carries the running top-k across them.
@@ -182,6 +200,7 @@ def _topk_kernel(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref, vals_s, idx_s, *,
         q_ref[:], x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     cols = i * chunk + lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
     s = jnp.where(cols < nvalid_ref[0], s, NEG_INF)
@@ -214,7 +233,8 @@ def _unpack_keys(wk, lane_bits):
 
 
 def _topk_kernel_fast(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref,
-                      vals_s, idx_s, *, k, chunk, lane_bits):
+                      vals_s, idx_s, *, k, chunk, lane_bits,
+                      precision=None):
     """Fast-mode kernel: packed-key selection (see module docstring).
 
     Per chunk: pack scores once, then k rounds of a single integer max +
@@ -235,6 +255,7 @@ def _topk_kernel_fast(nvalid_ref, q_ref, x_ref, outv_ref, outi_ref,
         q_ref[:], x_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=precision,
     )
     cols = lax.broadcasted_iota(jnp.int32, (qn, chunk), 1)
     s = jnp.where(i * chunk + cols < nvalid_ref[0], s, FAST_SENTINEL)
@@ -287,11 +308,14 @@ def _topk_pallas(q, x, n_valid, k, chunk, interpret, q_tile: int = 256,
     if q_pad != qn:
         q = jnp.pad(q, ((0, q_pad - qn), (0, 0)))
 
+    prec = _f32_precision(x)
     if fast:
         kernel = functools.partial(_topk_kernel_fast, k=k, chunk=chunk,
-                                   lane_bits=max(1, chunk.bit_length() - 1))
+                                   lane_bits=max(1, chunk.bit_length() - 1),
+                                   precision=prec)
     else:
-        kernel = functools.partial(_topk_kernel, k=k, chunk=chunk)
+        kernel = functools.partial(_topk_kernel, k=k, chunk=chunk,
+                                   precision=prec)
     outv, outi = pl.pallas_call(
         kernel,
         grid=(q_pad // qt, nchunks),
@@ -334,6 +358,10 @@ def streaming_topk(q, x, n_valid, k: int, *, chunk: int = 1024,
     q: [Q, D]; x: [N, D] with N a multiple of ``chunk``; n_valid: traced
     scalar count of real rows. Returns (values [Q, k] f32, row indices
     [Q, k] i32). impl: "pallas" | "xla" | "auto" (pallas on TPU).
+    Dtype contract: the matmul runs in ``x.dtype`` — callers pick bf16
+    for bandwidth (spherical/unit-norm scores) or f32 for exactness;
+    f32 operands automatically request HIGHEST matmul precision so
+    XLA:TPU cannot downgrade them to bf16 passes (see _f32_precision).
     mode: "exact" (bit-exact selection) | "fast" (packed-key selection,
     ~1.5x faster at k~10; values keep 23 - log2(chunk) mantissa bits
     (rel err <= 2^-11 at chunk=4096) and near-ties may reorder — see

@@ -45,7 +45,7 @@ class SearchEngine:
         self.embedder = embedder
         self.nprobe = nprobe
         self.hydrator = hydrator
-        self.deltas = list(deltas)  # property: also derives _newer_sets
+        self.deltas = list(deltas)  # property: publishes (deltas, masks)
         # lazily-built executor for the base+delta concurrent fan-out
         # (creation is lock-guarded: concurrent batcher workers race
         # through _search_ids and must not each build an executor)
@@ -54,7 +54,7 @@ class SearchEngine:
 
     @property
     def deltas(self):
-        return self._deltas
+        return list(self._delta_state[0])
 
     @deltas.setter
     def deltas(self, value) -> None:
@@ -63,17 +63,22 @@ class SearchEngine:
         _search_ids would keep masking base hits against removed
         deltas. Masks are precomputed here, not per request: rebuilding
         them per query copies O(total delta ids) — a hot-path cost that
-        would dwarf the device search. Assign a new list to mutate
-        (``engine.deltas = [...]``); in-place append bypasses this."""
-        self._deltas = list(value)
+        would dwarf the device search. The (deltas, masks) pair is
+        published as ONE atomically-assigned tuple and snapshotted once
+        per search, so a swap on a live engine can never pair N sources
+        with M masks for in-flight requests (round-5 review finding).
+        Assign a new list to mutate (``engine.deltas = [...]``);
+        the getter returns a COPY, so ``engine.deltas.append(...)``
+        mutates a discarded list and has no effect at all."""
+        deltas = tuple(value)
         newer: list[set] = []
         acc: set = set()
-        for _, _, dset in reversed(self._deltas):      # newest first
+        for _, _, dset in reversed(deltas):            # newest first
             newer.append(acc)
             acc = acc | dset
         newer.append(acc)                              # for the base
         newer.reverse()                                # align to sources
-        self._newer_sets = newer
+        self._delta_state = (deltas, newer)
 
     @classmethod
     def from_artifacts(
@@ -135,12 +140,17 @@ class SearchEngine:
                 if compaction_due(index.n, total, len(deltas),
                                   max_frac=cfg.compact_max_delta_frac,
                                   max_deltas=cfg.compact_max_deltas):
+                    # legacy -N-absent bases are serve-only: compact
+                    # would refuse, so don't point the operator at it
+                    remedy = ("run `astpu index compact`" if index.spherical
+                              else "this legacy non--N index is serve-"
+                                   "only; rebuild with -N to compact")
                     logger.warning(
                         "engine: delta set is past the compaction policy "
                         "(%d rows in %d sub-indexes vs %d base rows; id "
                         "sets are RAM-resident and each delta adds a "
-                        "search round trip) — run `astpu index compact`",
-                        total, len(deltas), index.n)
+                        "search round trip) — %s",
+                        total, len(deltas), index.n, remedy)
 
         emb = get_embedder(embedder, cfg, mesh=mesh)
         hyd = (
@@ -219,7 +229,11 @@ class SearchEngine:
         the delta's cost was the second serialized round trip, not its
         tiny scan). Threads pipeline the RTTs; device compute still
         serializes, which is the small part for delta-sized scans."""
-        sources = [(self.index, self.ids)] + [(d[0], d[1]) for d in self.deltas]
+        # ONE snapshot of the (deltas, masks) pair: a concurrent
+        # engine.deltas swap must not change the source list and the
+        # mask list out from under this request (see the deltas setter)
+        deltas, newer_sets = self._delta_state
+        sources = [(self.index, self.ids)] + [(d[0], d[1]) for d in deltas]
         # every source whose hits a NEWER delta can mask is overfetched
         # so the post-mask pool stays >= k; the newest source needs none
         kk = [k + self.DELTA_OVERFETCH] * len(sources)
@@ -245,7 +259,7 @@ class SearchEngine:
         for qi in range(len(q)):
             cands = []
             for src, rows in enumerate(per_source):
-                mask = self._newer_sets[src]
+                mask = newer_sets[src]
                 cands.extend((s, n) for s, n in rows[qi] if n not in mask)
             cands.sort(key=lambda t: -t[0])
             out.append(cands[:k])

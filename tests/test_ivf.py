@@ -299,3 +299,9 @@ def test_ivfpq_legacy_unnormalized_artifact_still_loads(tmp_path, caplog):
     # direct construction still refuses: only load() grandfathers
     with pytest.raises(ValueError, match="IVFFlatIndex"):
         IVFPQIndex(8, 32, spherical=False)
+    # ...and only for SERVING: building new data under the refused
+    # semantics must still fail loudly
+    with pytest.raises(ValueError, match="serve-only"):
+        idx2.train(x)
+    with pytest.raises(ValueError, match="serve-only"):
+        idx2.fill(x)

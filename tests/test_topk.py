@@ -132,3 +132,34 @@ def test_fast_mode_rejects_non_pow2_chunk(rng):
     x = jnp.zeros((300, 8))
     with pytest.raises(ValueError, match="power-of-two"):
         streaming_topk(q, x, jnp.int32(300), 5, chunk=100, mode="fast")
+
+
+def test_f32_operands_request_highest_precision():
+    """The suite pins jax_default_matmul_precision=highest (conftest),
+    so every numerical test would still pass if the f32->HIGHEST
+    plumbing were silently reverted — on the real TPU the default would
+    then run f32 dots as bf16 passes again (round-5 review finding).
+    Assert the request is actually in the traced program."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from abstracts_search_tpu.ops.topk import _f32_precision, streaming_topk
+
+    assert _f32_precision(jnp.zeros((1,), jnp.float32)) == lax.Precision.HIGHEST
+    assert _f32_precision(jnp.zeros((1,), jnp.bfloat16)) is None
+
+    q = jnp.zeros((8, 128), jnp.float32)
+    x = jnp.zeros((256, 128), jnp.float32)
+    # trace under DEFAULT global precision — conftest's global highest
+    # would stamp every dot and make both assertions vacuous
+    with jax.default_matmul_precision("default"):
+        jaxpr = jax.make_jaxpr(
+            lambda q, x: streaming_topk(q, x, jnp.int32(256), 4,
+                                        chunk=128, impl="xla"))(q, x)
+        qb, xb = q.astype(jnp.bfloat16), x.astype(jnp.bfloat16)
+        jaxpr_b = jax.make_jaxpr(
+            lambda q, x: streaming_topk(q, x, jnp.int32(256), 4,
+                                        chunk=128, impl="xla"))(qb, xb)
+    assert "HIGHEST" in str(jaxpr)        # f32: explicitly requested
+    assert "HIGHEST" not in str(jaxpr_b)  # bf16: keeps the fast default
